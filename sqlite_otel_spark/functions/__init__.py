@@ -1,0 +1,4 @@
+from sqlite_otel_spark.functions.canonical_json import canonical_dumps, go_loads
+from sqlite_otel_spark.functions.parse import parse_turn, PARSED_SCHEMA
+
+__all__ = ["canonical_dumps", "go_loads", "parse_turn", "PARSED_SCHEMA"]

@@ -1,0 +1,595 @@
+"""The parse ("grok") stage: transcript ``text`` -> typed signal records.
+
+Re-implements, in one vectorizable pure function, the exact extraction
+semantics of the reference collector's write path:
+
+ - envelope validation + routing   (main.go:119-121; database/*.go:17-25)
+ - triple/quadruple nested flatten (database/traces.go:22-83,
+   database/logs.go:22-81, database/metrics.go:27-88)
+ - field projection + coercion     (database/traces.go:90-171,
+   database/logs.go:88-187, database/metrics.go:95-269)
+ - get-or-create dimension keys    (database/shared.go:25-120,139-163)
+ - per-turn transactional rollback (database/*.go: tx.Begin/Commit —
+   ANY record-level error discards the whole turn, including its
+   dimension touches)
+
+``parse_turn`` is used by the pipeline's Arrow-vectorized pandas UDF
+(operators/parse_udf.py). The pytest oracle (oracle.py) is an
+independent sequential implementation of the same Go semantics; the two
+share nothing but the canonical-JSON helper, whose correctness only
+matters for self-consistent dedup keys.
+
+Semantics preserved bit-for-bit (each encoded as a unit test):
+ - traces/metrics skip malformed *shapes* (non-map elements, missing
+   arrays) but any *record* error aborts the turn; logs abort on
+   malformed shapes too (strict policy, SURVEY §2.2 F7);
+ - a resource/scope dimension row is created even when the inner loop
+   then finds nothing to insert (traces.go:34 runs before the
+   scopeSpans check at :38);
+ - logs with a missing/ill-typed resource get resource_id=0 and create
+   NO resource row (logs.go:29-35);
+ - span attributes/events/links default to JSON ``null`` (Marshal(nil)),
+   log body defaults to ``{}``, log attributes to ``[]``
+   (traces.go:130-146, logs.go:126-148);
+ - metric defs are registered even with zero data points
+   (metrics.go:118-124 runs before the dataPoints loop);
+ - complex metric payloads fold into attributes under ``_metricData``
+   ONLY when attributes is an object or missing (metrics.go:258-268
+   type-asserts a map; OTLP's array-shaped attributes skip the fold);
+ - duplicate (trace_id, span_id) within a turn aborts the turn
+   (spans PRIMARY KEY, db.go:95).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sqlite_otel_spark.functions.canonical_json import canonical_dumps, go_loads
+
+# ---------------------------------------------------------------------------
+# Output schema of the parse stage (one struct per transcript turn).
+# ---------------------------------------------------------------------------
+
+_S = StringType()
+_L = LongType()
+
+
+def _struct(fields: list[tuple[str, Any]]) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+RESOURCE_KEY_FIELDS = [("res_attributes", _S), ("res_schema_url", _S)]
+SCOPE_KEY_FIELDS = [
+    ("scope_name", _S),
+    ("scope_version", _S),
+    ("scope_attributes", _S),
+    ("scope_schema_url", _S),
+]
+
+SPAN_FIELDS = [
+    ("trace_id", _S),
+    ("span_id", _S),
+    ("trace_state", _S),
+    ("parent_span_id", _S),
+    ("name", _S),
+    ("kind", _L),
+    ("start_time_unix_nano", _L),
+    ("end_time_unix_nano", _L),
+    ("attributes", _S),
+    ("events", _S),
+    ("links", _S),
+    ("status_code", _L),
+    ("status_message", _S),
+    *RESOURCE_KEY_FIELDS,
+    *SCOPE_KEY_FIELDS,
+]
+
+LOG_FIELDS = [
+    ("time_unix_nano", _L),
+    ("observed_time_unix_nano", _L),
+    ("severity_number", _L),
+    ("severity_text", _S),
+    ("body", _S),
+    ("attributes", _S),
+    ("trace_id", _S),
+    ("span_id", _S),
+    ("flags", _L),
+    *RESOURCE_KEY_FIELDS,  # null -> resource_id = 0 (logs.go:29-35)
+    *SCOPE_KEY_FIELDS,
+]
+
+METRIC_DEF_FIELDS = [
+    ("pos", _L),  # arrival order inside the turn, for first-definition-wins
+    ("name", _S),
+    ("description", _S),
+    ("unit", _S),
+    ("metric_type", _S),
+    *RESOURCE_KEY_FIELDS,
+    *SCOPE_KEY_FIELDS,
+]
+
+POINT_FIELDS = [
+    ("metric_name", _S),
+    ("metric_type", _S),
+    ("attributes", _S),
+    ("start_time_unix_nano", _L),
+    ("time_unix_nano", _L),
+    ("value_double", DoubleType()),
+    ("value_int", _L),
+    ("exemplars", _S),
+    ("flags", _L),
+    *RESOURCE_KEY_FIELDS,
+    *SCOPE_KEY_FIELDS,
+]
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("signal_type", _S, True),
+        StructField("error", _S, True),
+        StructField("resources", ArrayType(_struct(RESOURCE_KEY_FIELDS)), True),
+        StructField("scopes", ArrayType(_struct(SCOPE_KEY_FIELDS)), True),
+        StructField("metric_defs", ArrayType(_struct(METRIC_DEF_FIELDS)), True),
+        StructField("spans", ArrayType(_struct(SPAN_FIELDS)), True),
+        StructField("logs", ArrayType(_struct(LOG_FIELDS)), True),
+        StructField("points", ArrayType(_struct(POINT_FIELDS)), True),
+    ]
+)
+
+# Reject reasons (HTTP-status analogues from handlers/handler_common.go).
+REJECT_EMPTY = "empty_body"          # 400, handler_common.go:38-41
+REJECT_OVERSIZE = "oversize"         # 413 via MaxBytesReader, :28-31
+REJECT_NOT_JSON = "not_json_object"  # 415/400 analogue (F2 prefix check)
+REJECT_INVALID_JSON = "invalid_json" # 400, :42-45
+REJECT_UNKNOWN_SIGNAL = "unknown_signal"  # no matching endpoint
+
+
+class _TurnError(Exception):
+    """A record-level error: rolls back the whole turn (tx semantics)."""
+
+
+def _is_num(v: Any) -> bool:
+    # Go type-asserts float64; JSON bools are not numbers there either.
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _get_string(m: dict, key: str, ctx: str) -> str:
+    """database/shared.go:12-22 getStringFromMap: missing/nil -> "",
+    present-but-not-string -> error."""
+    v = m.get(key)
+    if v is None:
+        return ""
+    if isinstance(v, str):
+        return v
+    raise _TurnError(f"{ctx} key '{key}' has invalid type")
+
+
+def _parse_time_nano(s: str) -> int:
+    """database/shared.go:122-136: trim, empty -> 0, base-10 int64."""
+    s = s.strip()
+    if not s:
+        return 0
+    neg = s[0] in "+-"
+    digits = s[1:] if neg else s
+    if not digits.isascii() or not digits.isdigit() or not digits:
+        raise _TurnError(f"failed to parse timestamp '{s}'")
+    v = int(s)
+    if not -(2**63) <= v < 2**63:
+        raise _TurnError(f"failed to parse timestamp '{s}': out of range")
+    return v
+
+
+def _resource_key(resource: dict) -> dict:
+    """GetOrCreateResource natural key (database/shared.go:25-67)."""
+    attributes = resource.get("attributes")
+    if attributes is None:
+        attributes = {}
+    schema_url = _get_string(resource, "schemaUrl", "resource")
+    return {
+        "res_attributes": canonical_dumps(attributes),
+        "res_schema_url": schema_url,
+    }
+
+
+def _scope_key(scope: dict) -> dict:
+    """GetOrCreateScope natural key (database/shared.go:70-120)."""
+    attributes = scope.get("attributes")
+    if attributes is None:
+        attributes = {}
+    return {
+        "scope_name": _get_string(scope, "name", "scope"),
+        "scope_version": _get_string(scope, "version", "scope"),
+        "scope_attributes": canonical_dumps(attributes),
+        "scope_schema_url": _get_string(scope, "schemaUrl", "scope"),
+    }
+
+
+_DEFAULT_SCOPE = {"name": "", "version": "", "attributes": [], "schemaUrl": ""}
+
+
+def _opt_time(rec: dict, key: str) -> int:
+    """Timestamp fields: only parsed when present as a non-empty string;
+    any other shape silently yields 0 (traces.go:113-129 type-asserts
+    string first)."""
+    v = rec.get(key)
+    if isinstance(v, str) and v != "":
+        return _parse_time_nano(v)
+    return 0
+
+
+def _num_or_zero(rec: dict, key: str) -> int:
+    v = rec.get(key)
+    return int(v) if _is_num(v) else 0
+
+
+def _str_or_empty(rec: dict, key: str) -> str:
+    v = rec.get(key)
+    return v if isinstance(v, str) else ""
+
+
+def _strict_str(rec: dict, key: str) -> str:
+    """logs.go:114-122,150-167: present-and-non-nil must be a string."""
+    v = rec.get(key)
+    if v is None:
+        return ""
+    if isinstance(v, str):
+        return v
+    raise _TurnError(f"invalid type for {key}: expected string")
+
+
+# ---------------------------------------------------------------------------
+# Per-signal extraction (the nested-loop flattens, SURVEY §2.3 P2-P7).
+# ---------------------------------------------------------------------------
+
+
+def _extract_trace(data: dict, out: dict) -> None:
+    """database/traces.go:17-171 (lenient shapes, hard record errors)."""
+    resource_spans = data.get("resourceSpans")
+    if not isinstance(resource_spans, list):
+        raise _TurnError("invalid trace data: missing resourceSpans")
+    seen_pk: set[tuple[str, str]] = set()
+    for rs in resource_spans:
+        if not isinstance(rs, dict):
+            continue
+        resource = rs.get("resource")
+        if not isinstance(resource, dict):
+            continue  # skip resourceSpan without resource (traces.go:30-33)
+        res_key = _resource_key(resource)
+        out["resources"].append(res_key)  # touched before scopeSpans check
+        scope_spans = rs.get("scopeSpans")
+        if not isinstance(scope_spans, list):
+            continue
+        for ss in scope_spans:
+            if not isinstance(ss, dict):
+                continue
+            scope = ss.get("scope")
+            if not isinstance(scope, dict):
+                scope = _DEFAULT_SCOPE  # traces.go:52-61 default empty scope
+            scope_key = _scope_key(scope)
+            out["scopes"].append(scope_key)
+            spans = ss.get("spans")
+            if not isinstance(spans, list):
+                continue
+            for s in spans:
+                if not isinstance(s, dict):
+                    continue
+                out["spans"].append(_extract_span(s, res_key, scope_key, seen_pk))
+
+
+def _extract_span(
+    span: dict, res_key: dict, scope_key: dict, seen_pk: set
+) -> dict:
+    """InsertSpan projection (database/traces.go:90-171)."""
+    trace_id = span.get("traceId")
+    if not isinstance(trace_id, str) or trace_id == "":
+        raise _TurnError("invalid span: traceId is required")
+    span_id = span.get("spanId")
+    if not isinstance(span_id, str) or span_id == "":
+        raise _TurnError("invalid span: spanId is required")
+    pk = (trace_id, span_id)
+    if pk in seen_pk:
+        # spans PRIMARY KEY(trace_id, span_id) (db.go:95): the second
+        # insert violates the constraint and aborts the transaction.
+        raise _TurnError(f"duplicate span ({trace_id},{span_id})")
+    seen_pk.add(pk)
+    status = span.get("status")
+    if not isinstance(status, dict):
+        status = {}
+    return {
+        "trace_id": trace_id,
+        "span_id": span_id,
+        "trace_state": _str_or_empty(span, "traceState"),
+        "parent_span_id": _str_or_empty(span, "parentSpanId"),
+        "name": _str_or_empty(span, "name"),
+        "kind": _num_or_zero(span, "kind"),
+        "start_time_unix_nano": _opt_time(span, "startTimeUnixNano"),
+        "end_time_unix_nano": _opt_time(span, "endTimeUnixNano"),
+        # Marshal(nil) == "null" for missing fields (traces.go:130-146).
+        "attributes": canonical_dumps(span.get("attributes")),
+        "events": canonical_dumps(span.get("events")),
+        "links": canonical_dumps(span.get("links")),
+        "status_code": _num_or_zero(status, "code"),
+        "status_message": _str_or_empty(status, "message"),
+        **res_key,
+        **scope_key,
+    }
+
+
+def _extract_log(data: dict, out: dict) -> None:
+    """database/logs.go:17-187 (strict: shape errors abort the turn)."""
+    resource_logs = data.get("resourceLogs")
+    if not isinstance(resource_logs, list):
+        raise _TurnError("invalid logs data: missing resourceLogs")
+    for rl in resource_logs:
+        if not isinstance(rl, dict):
+            raise _TurnError("invalid resourceLog type")
+        resource = rl.get("resource")
+        if isinstance(resource, dict):
+            res_key = _resource_key(resource)
+            out["resources"].append(res_key)
+        else:
+            # resource_id stays 0; no dimension row (logs.go:29-35).
+            res_key = {"res_attributes": None, "res_schema_url": None}
+        scope_logs = rl.get("scopeLogs")
+        if not isinstance(scope_logs, list):
+            raise _TurnError("invalid scopeLogs type in resourceLog")
+        for sl in scope_logs:
+            if not isinstance(sl, dict):
+                raise _TurnError("invalid scopeLog type")
+            scope = sl.get("scope")
+            if not isinstance(scope, dict):
+                scope = _DEFAULT_SCOPE
+            scope_key = _scope_key(scope)
+            out["scopes"].append(scope_key)
+            log_records = sl.get("logRecords")
+            if not isinstance(log_records, list):
+                raise _TurnError("invalid logRecords type in scopeLog")
+            for lr in log_records:
+                if not isinstance(lr, dict):
+                    raise _TurnError("invalid logRecord type")
+                out["logs"].append(_extract_log_record(lr, res_key, scope_key))
+
+
+def _extract_log_record(lr: dict, res_key: dict, scope_key: dict) -> dict:
+    """InsertLogRecord projection (database/logs.go:88-187)."""
+    body = lr.get("body")
+    attributes = lr.get("attributes")
+    return {
+        "time_unix_nano": _opt_time(lr, "timeUnixNano"),
+        "observed_time_unix_nano": _opt_time(lr, "observedTimeUnixNano"),
+        "severity_number": _num_or_zero(lr, "severityNumber"),
+        "severity_text": _strict_str(lr, "severityText"),
+        # body default '{}' (logs.go:132-135), attributes default '[]'
+        # (logs.go:145-148) — unlike spans' Marshal(nil)=="null".
+        "body": canonical_dumps(body) if body is not None else "{}",
+        "attributes": canonical_dumps(attributes) if attributes is not None else "[]",
+        "trace_id": _strict_str(lr, "traceId"),
+        "span_id": _strict_str(lr, "spanId"),
+        "flags": _num_or_zero(lr, "flags"),
+        **res_key,
+        **scope_key,
+    }
+
+
+_METRIC_TYPES = ("gauge", "sum", "histogram", "exponentialHistogram", "summary")
+
+
+def _extract_metric_signal(data: dict, out: dict) -> None:
+    """database/metrics.go:22-269."""
+    resource_metrics = data.get("resourceMetrics")
+    if not isinstance(resource_metrics, list):
+        raise _TurnError("invalid metrics data: missing resourceMetrics")
+    pos = 0
+    for rm in resource_metrics:
+        if not isinstance(rm, dict):
+            continue
+        resource = rm.get("resource")
+        if not isinstance(resource, dict):
+            # Unlike traces, metrics REQUIRE the resource (metrics.go:34-37).
+            raise _TurnError("invalid resourceMetric: missing resource field")
+        res_key = _resource_key(resource)
+        out["resources"].append(res_key)
+        scope_metrics = rm.get("scopeMetrics")
+        if not isinstance(scope_metrics, list):
+            continue
+        for sm in scope_metrics:
+            if not isinstance(sm, dict):
+                continue
+            scope = sm.get("scope")
+            if not isinstance(scope, dict):
+                scope = _DEFAULT_SCOPE
+            scope_key = _scope_key(scope)
+            out["scopes"].append(scope_key)
+            metrics = sm.get("metrics")
+            if not isinstance(metrics, list):
+                continue
+            for m in metrics:
+                if not isinstance(m, dict):
+                    continue
+                pos = _extract_metric(m, res_key, scope_key, out, pos)
+
+
+def _extract_metric(
+    metric: dict, res_key: dict, scope_key: dict, out: dict, pos: int
+) -> int:
+    """InsertMetric (database/metrics.go:95-138): register the definition
+    (even with zero data points), discriminate the type (R2), then emit
+    data points."""
+    name = metric.get("name")
+    if not isinstance(name, str) or name == "":
+        raise _TurnError("invalid metric: name is required")
+    metric_type = None
+    for mt in _METRIC_TYPES:  # first-match discriminator (metrics.go:105-116)
+        if mt in metric:
+            metric_type = mt
+            break
+    if metric_type is None:
+        raise _TurnError(f"unknown metric type for metric: {name}")
+    out["metric_defs"].append(
+        {
+            "pos": pos,
+            "name": name,
+            "description": _str_or_empty(metric, "description"),
+            "unit": _str_or_empty(metric, "unit"),
+            "metric_type": metric_type,
+            **res_key,
+            **scope_key,
+        }
+    )
+    pos += 1
+    data = metric.get(metric_type)
+    if isinstance(data, dict):
+        data_points = data.get("dataPoints")
+        if isinstance(data_points, list):
+            for dp in data_points:
+                if isinstance(dp, dict):
+                    out["points"].append(
+                        _extract_point(dp, name, metric_type, res_key, scope_key)
+                    )
+    return pos
+
+
+def _extract_point(
+    dp: dict, name: str, metric_type: str, res_key: dict, scope_key: dict
+) -> dict:
+    """InsertMetricDataPoint (database/metrics.go:141-269)."""
+    attributes = dp.get("attributes")
+    attributes_json = canonical_dumps(attributes)  # nil -> "null"
+
+    value_double = None
+    value_int = None
+    v = dp.get("asDouble")
+    if _is_num(v):
+        value_double = float(v)
+    else:
+        v = dp.get("asInt")
+        if isinstance(v, str):
+            s = v.strip()
+            neg = s[:1] in ("+", "-")
+            digits = s[1:] if neg else s
+            # Go strconv.ParseInt: no leading/trailing space allowed.
+            if v != s or not digits.isascii() or not digits.isdigit() or not digits:
+                raise _TurnError(f"failed to parse asInt value '{v}'")
+            value_int = int(v)
+            if not -(2**63) <= value_int < 2**63:
+                raise _TurnError(f"failed to parse asInt value '{v}': range")
+
+    # Complex-type payload fold (R3, metrics.go:194-256): selected fields
+    # only, each type-checked exactly as Go asserts them.
+    complex_data: dict[str, Any] = {}
+    if metric_type == "histogram":
+        if isinstance(dp.get("count"), str):
+            complex_data["count"] = dp["count"]
+        if _is_num(dp.get("sum")):
+            complex_data["sum"] = float(dp["sum"])
+        if isinstance(dp.get("bucketCounts"), list):
+            complex_data["bucketCounts"] = dp["bucketCounts"]
+        if isinstance(dp.get("explicitBounds"), list):
+            complex_data["explicitBounds"] = dp["explicitBounds"]
+    elif metric_type == "exponentialHistogram":
+        if isinstance(dp.get("count"), str):
+            complex_data["count"] = dp["count"]
+        if _is_num(dp.get("sum")):
+            complex_data["sum"] = float(dp["sum"])
+        if _is_num(dp.get("scale")):
+            complex_data["scale"] = float(dp["scale"])
+        if isinstance(dp.get("zeroCount"), str):
+            complex_data["zeroCount"] = dp["zeroCount"]
+        if isinstance(dp.get("positive"), dict):
+            complex_data["positive"] = dp["positive"]
+        if isinstance(dp.get("negative"), dict):
+            complex_data["negative"] = dp["negative"]
+    elif metric_type == "summary":
+        if isinstance(dp.get("count"), str):
+            complex_data["count"] = dp["count"]
+        if _is_num(dp.get("sum")):
+            complex_data["sum"] = float(dp["sum"])
+        if isinstance(dp.get("quantileValues"), list):
+            complex_data["quantileValues"] = dp["quantileValues"]
+
+    if complex_data:
+        # Fold only applies when attributes is an object or missing
+        # (metrics.go:258-268 type-asserts map[string]interface{}).
+        base = {} if attributes is None else attributes
+        if isinstance(base, dict):
+            merged = dict(base)
+            merged["_metricData"] = complex_data
+            attributes_json = canonical_dumps(merged)
+
+    return {
+        "metric_name": name,
+        "metric_type": metric_type,
+        "attributes": attributes_json,
+        "start_time_unix_nano": _opt_time(dp, "startTimeUnixNano"),
+        "time_unix_nano": _opt_time(dp, "timeUnixNano"),
+        "value_double": value_double,
+        "value_int": value_int,
+        "exemplars": canonical_dumps(dp.get("exemplars")),
+        "flags": _num_or_zero(dp, "flags"),
+        **res_key,
+        **scope_key,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Entry point.
+# ---------------------------------------------------------------------------
+
+_EMPTY: dict[str, list] = {
+    "resources": [],
+    "scopes": [],
+    "metric_defs": [],
+    "spans": [],
+    "logs": [],
+    "points": [],
+}
+
+
+def _result(signal_type: str | None, error: str | None, out: dict | None = None) -> dict:
+    rec = dict(out) if out is not None else {k: [] for k in _EMPTY}
+    rec["signal_type"] = signal_type
+    rec["error"] = error
+    return rec
+
+
+def parse_turn(text: str | None, max_bytes: int = 10 * 1024 * 1024) -> dict:
+    """Parse one transcript turn exactly as the reference processes one
+    HTTP request body. Returns the PARSED_SCHEMA dict; on any error the
+    record arrays are EMPTY (transaction rollback semantics) and
+    ``error`` carries the reject reason."""
+    if text is None or text.strip() == "":
+        return _result(None, REJECT_EMPTY)
+    if len(text.encode("utf-8", errors="surrogatepass")) > max_bytes:
+        return _result(None, REJECT_OVERSIZE)
+    if not text.lstrip().startswith("{"):
+        return _result(None, REJECT_NOT_JSON)
+    try:
+        data = go_loads(text)
+    except Exception:
+        return _result(None, REJECT_INVALID_JSON)
+    if not isinstance(data, dict):  # unreachable given the '{' check
+        return _result(None, REJECT_NOT_JSON)
+
+    if "resourceSpans" in data:
+        signal, extractor = "trace", _extract_trace
+    elif "resourceLogs" in data:
+        signal, extractor = "log", _extract_log
+    elif "resourceMetrics" in data:
+        signal, extractor = "metric", _extract_metric_signal
+    else:
+        return _result(None, REJECT_UNKNOWN_SIGNAL)
+
+    out = {k: [] for k in _EMPTY}
+    try:
+        extractor(data, out)
+    except _TurnError as e:
+        return _result(signal, str(e))
+    return _result(signal, None, out)

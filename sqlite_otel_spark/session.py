@@ -1,0 +1,40 @@
+"""SparkSession factory with the scale-oriented defaults the north rule
+mandates: AQE + skew-join handling on, Arrow execution for pandas UDFs,
+UTC session timezone (nanosecond parity with the reference's raw int64
+timestamps, database/db.go:86-87).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sqlite-otel-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        # North-rule §4.2.2: AQE with skew-join splitting and partition
+        # coalescing — hot conversations produce skewed shuffle partitions.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Arrow transfer for the vectorized parse UDF (SURVEY §2.9).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+        # Keep parquet scans vectorized and pruned.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.files.maxPartitionBytes": "128m",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
