@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship transcript pipeline (parse -> enrich ->
+route -> aggregate) on the deterministic fixture and returns the
+time-bucket rollup. ``queries``/``oracle_sql`` expose every implemented
+operator from SURVEY.md §2 plus the training-data-pipeline ops; see
+sqlite_otel_spark/queries.py for the registry.
+
+Note on inputs: BASELINE.json's input_hint mandates a transcripts table
+(conv_id, turn_idx, role, text, tool, ts) which does not exist in
+/root/testdata — it is synthesized deterministically (fixtures.py,
+seed=42) per the driver brief; pipeline queries therefore use golden
+oracles computed by the sequential reference-semantics oracle, while all
+shared-table queries use live DuckDB SQL oracles.
 """
 
 from __future__ import annotations
@@ -13,26 +20,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sqlite_otel_spark.queries import ORACLES, QUERIES, _pipeline
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline on the deterministic transcript fixture;
+    returns the per-hour signal/tool rollup (A3). Also touches the
+    sf0.001 shared tables as a source smoke check."""
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(1).collect()
+    return _pipeline(spark).by_time_bucket
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

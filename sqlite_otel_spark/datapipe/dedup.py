@@ -1,0 +1,167 @@
+"""Deduplication operators for a training-data pipeline (brief §datapipe):
+exact, MinHash+LSH, SimHash, n-gram Jaccard. Spark-first designs:
+
+ - exact dedup is a hash groupBy (one shuffle, map-side partial agg);
+ - n-gram Jaccard materializes word-shingles (native split/transform/
+   explode), self-joins on the shingle value and aggregates pair
+   intersections — the join key is the shingle, so common shingles are
+   the skew axis; at 100 TB you run MinHash-LSH first and feed only its
+   candidate pairs into the exact-Jaccard verifier (``jaccard_pairs``
+   accepts an optional candidate frame for exactly that);
+ - MinHash signatures come from ONE explode + ONE groupBy computing all
+   P permutation-mins as independent agg columns (no P-fold blowup);
+   LSH banding turns signatures into (band, band_hash) keys whose
+   equality join yields candidates;
+ - SimHash is a 64-column conditional bit-sum, near-dups found by
+   16-bit band equality then exact Hamming verification via
+   bit_count(xor) — all JVM built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sqlite_otel_spark.datapipe.text import tokens_col
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, n_docs, doc_ids)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document (set semantics)."""
+    toks = tokens_col(F.col(text_col))
+    # guard: sequence(1, 0) would DESCEND in Spark; short docs get no shingles
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.6,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over document pairs sharing >=1 shingle.
+    ``candidates`` (doc_a, doc_b) restricts the self-join to an LSH
+    candidate set — the scale path."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"], "leftsemi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
+    """P permutation minima as agg columns over one shuffle:
+    h_i(doc) = min over shingles of xxhash64(shingle, i)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signature (bands x rows = num_perm) and join docs whose
+    band hashes collide -> candidate near-dup pairs (doc_a < doc_b)."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
+        "doc_id", "x.band", "x.bh"
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens: bit j of the fingerprint is the sign of
+    sum over tokens of (+1 if bit j of xxhash64(token) else -1)."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .withColumn("th", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        )
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dups(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: candidate generation via equality on one
+    of four 16-bit bands (any pair within Hamming<=3 of 64 bits must agree
+    on >=1 band by pigeonhole... with 4 bands and 3 flipped bits), then
+    exact Hamming verification with bit_count(xor)."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+        )
+        for b in range(4)
+    ])
+    banded = fp.select("doc_id", "simhash", F.explode(bands).alias("x")).select(
+        "doc_id", "simhash", "x.band", "x.bh"
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "bh")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (brief §datapipe).
+
+Baseline: brute-force cosine top-k with native higher-order functions
+(zip_with + aggregate — JVM-side, no Python). Scale path: random-
+hyperplane LSH bucketing so candidate generation joins on bucket
+signatures instead of the full cross product; at 1000 executors the
+cross join is O(N*Q) and dies first, the LSH join is O(N) + bucket-local
+products.
+
+Determinism: hyperplanes derive from a seeded hash, not RNG state, so
+every run/partition sees identical planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self).
+    queries: (query_id, embedding). Deterministic ordering: cosine
+    rounded to 4dp desc, then neighbor id asc (stable across engines
+    and summation orders)."""
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        q.crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j is a
+    zig-zag of a 64-bit mix of (plane_idx, j). Pure function — identical
+    on every executor without shipping arrays."""
+    comps = []
+    for j in range(dim):
+        h = (plane_idx * 1_000_003 + j * 7_919 + 12_345) * 6364136223846793005 % (1 << 64)
+        comps.append(((h >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return comps
+
+
+def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane signature: bit p = sign(v . plane_p)."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = hyperplane(dim, p)
+        dot = sum(
+            (F.element_at(vec, j + 1).cast("double") * F.lit(plane[j]) for j in range(dim)),
+            F.lit(0.0),
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        )
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    n_planes: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs whose LSH signatures differ in
+    <=2 of n_planes bits (bucket join on signature + Hamming probe).
+    Trades recall for replacing the cross join with an equi-join."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
+        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("sig_v"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("sig_q"),
+    )
+    # Multi-probe: bucket key = signature with one band masked; join on the
+    # 2 half-signatures (any near pair agrees on one half w.h.p.).
+    half = n_planes // 2
+    lo = F.lit((1 << half) - 1)
+
+    def keyed(df, sig, idc, vc):
+        return df.select(
+            idc, vc,
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"), F.col(sig).bitwiseAND(lo).alias("bh")),
+                    F.struct(F.lit(1).alias("band"), F.shiftright(F.col(sig), half).alias("bh")),
+                )
+            ).alias("x"),
+        ).select(idc, vc, "x.band", "x.bh")
+
+    cand = (
+        keyed(q, "sig_q", "query_id", "qv")
+        .join(keyed(v, "sig_v", "neighbor_id", "v"), ["band", "bh"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

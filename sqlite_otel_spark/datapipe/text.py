@@ -1,0 +1,87 @@
+"""Text analysis operators for a training-data pipeline (brief §datapipe):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure Catalyst column expressions — no Python in the
+hot path — so they scan 100 TB at parquet speed with column pruning
+(only ``text`` is read).
+
+Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql() runnable
+by DuckDB (same regex dialect subset, same md5, same replace semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"  # BPE-ish: lowercase alnum runs
+
+
+def tokens_col(text: Column) -> Column:
+    """Token array (whitespace/punct-insensitive). idx=0 = whole match
+    (Spark defaults to capture group 1, unlike DuckDB)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences via the length/replace trick —
+    chosen over regexp_count because its semantics are byte-identical
+    across Spark and DuckDB (the oracle requirement)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(f" {needle} "), F.lit(""))))
+        / (len(needle) + 2)
+    ).cast("long")
+
+
+# Tiny stopword inventories per language for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "que"],
+    "de": ["der", "und", "die"],
+}
+
+
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language ID: highest stopword-marker hit count wins;
+    no hits -> 'unknown'. Deterministic tie-break by language order."""
+    langs = list(LANG_MARKERS)
+    scores = {
+        lang: sum((_occurrences(text, m) for m in markers), F.lit(0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    expr = F.lit("unknown")
+    for lang in reversed(langs):  # earlier languages win ties
+        others = [scores[o] for o in langs if o != lang]
+        others_max = F.greatest(*others) if len(others) > 1 else others[0]
+        cond = (scores[lang] > F.lit(0)) & (scores[lang] >= others_max)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Quality-score signals: length, token density, mean token length,
+    non-alnum ratio (punctuation-ish)."""
+    n_chars = F.length(text).cast("long")
+    n_tokens = token_count_col(text)
+    alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "token_density": F.round(n_tokens / F.greatest(n_chars, F.lit(1)), 4).cast("double"),
+        "mean_token_len": F.round(alnum_chars / F.greatest(n_tokens, F.lit(1)), 4).cast("double"),
+        "non_alnum_ratio": F.round(
+            (n_chars - alnum_chars) / F.greatest(n_chars, F.lit(1)), 4
+        ).cast("double"),
+    }
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (md5 rather than a custom rolling hash so the DuckDB oracle can
+    reproduce it bit-for-bit; a rolling/Rabin variant lives in
+    datapipe/dedup.simhash where cross-engine parity isn't required.)"""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))

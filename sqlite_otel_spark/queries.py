@@ -1,0 +1,853 @@
+"""queries()/oracle_sql() registry backing __spark_entry__.py.
+
+One entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline ops. Each Spark callable takes (spark, sf_dir)
+and routes through the engine's operator modules (not re-typed SQL), and
+— where ANSI-SQL-expressible — has a DuckDB oracle over the shared
+parquet views that must match row-for-row (columns aliased identically,
+doubles rounded identically, sums cast identically).
+
+Entries with oracle=None are non-SQL-expressible (hash-seeded LSH /
+MinHash / SimHash, full pipeline runs); the driver records a rows-only
+check and pytest covers them against independent Python implementations
+or the sequential oracle.
+
+Pipeline entries run the REAL transcript pipeline on the deterministic
+fixture (n=2000, seed=42 — scale-independent) and compare against golden
+VALUES computed by the sequential oracle (sqlite_otel_spark/oracle.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlite_otel_spark.config import PipelineConfig
+from sqlite_otel_spark.datapipe import dedup as dd
+from sqlite_otel_spark.datapipe import multimodal as mm
+from sqlite_otel_spark.datapipe import similarity as sim
+from sqlite_otel_spark.datapipe import text as dtext
+from sqlite_otel_spark.fixtures import make_transcripts
+from sqlite_otel_spark.operators import aggregates as agg
+from sqlite_otel_spark.operators import validate as val
+from sqlite_otel_spark.plans.pipeline import run_pipeline
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Pipeline runs (cached per session+fixture so the three pipeline entries
+# don't re-parse).
+# --------------------------------------------------------------------------
+
+_PIPELINE_CACHE: dict[int, object] = {}
+FIXTURE_N = 2000
+FIXTURE_SEED = 42
+
+
+def fixture_transcripts(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        make_transcripts(FIXTURE_N, seed=FIXTURE_SEED), schema=TRANSCRIPT_SCHEMA
+    )
+
+
+def _pipeline(spark: SparkSession):
+    key = id(spark)
+    if key not in _PIPELINE_CACHE:
+        _PIPELINE_CACHE[key] = run_pipeline(
+            spark, fixture_transcripts(spark), PipelineConfig()
+        )
+    return _PIPELINE_CACHE[key]
+
+
+# ===========================================================================
+# Pipeline entries (golden-VALUES oracles from the sequential oracle run
+# at n=2000 seed=42; regenerate with scripts/regen_goldens.py).
+# ===========================================================================
+
+
+@q(
+    "pipeline_sink_counts",
+    """
+    SELECT * FROM (VALUES
+        ('resources', CAST(11 AS BIGINT)),
+        ('instrumentation_scopes', CAST(6 AS BIGINT)),
+        ('metrics', CAST(321 AS BIGINT)),
+        ('spans', CAST(1256 AS BIGINT)),
+        ('log_records', CAST(2577 AS BIGINT)),
+        ('metric_data_points', CAST(750 AS BIGINT)),
+        ('rejects', CAST(16 AS BIGINT))
+    ) AS t(sink, n_rows)
+    """,
+)
+def pipeline_sink_counts(spark, sf_dir):
+    """A2: per-sink row counts — THE north-rule count-equality check."""
+    res = _pipeline(spark)
+    rows = [(name, df.count()) for name, df in res.sinks.items()]
+    return spark.createDataFrame(rows, "sink string, n_rows long")
+
+
+@q(
+    "pipeline_accounting",
+    """
+    SELECT * FROM (VALUES
+        ('trace', CAST(613 AS BIGINT), CAST(598683 AS BIGINT), CAST(5 AS BIGINT)),
+        ('log',   CAST(1007 AS BIGINT), CAST(921515 AS BIGINT), CAST(2 AS BIGINT)),
+        ('metric', CAST(385 AS BIGINT), CAST(320630 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(signal_type, accepted, accepted_bytes, rejected)
+    """,
+)
+def pipeline_accounting(spark, sf_dir):
+    """A1: per-signal accepted/rejected accounting (handler_common.go:55-64)."""
+    res = _pipeline(spark)
+    return res.accounting.filter(F.col("signal_type").isNotNull()).select(
+        "signal_type", "accepted", "accepted_bytes", "rejected"
+    )
+
+
+@q("pipeline_by_signal_tool")
+def pipeline_by_signal_tool(spark, sf_dir):
+    """A2 by tool over the broadcast-enriched routed stream (rows-only:
+    covered exactly by tests/test_pipeline_vs_oracle.py)."""
+    return _pipeline(spark).by_signal_tool
+
+
+@q("pipeline_time_rollup")
+def pipeline_time_rollup(spark, sf_dir):
+    """A3: tumbling 1h window counts by signal/tool on the transcripts."""
+    return _pipeline(spark).by_time_bucket
+
+
+@q("pipeline_spans_sample")
+def pipeline_spans_sample(spark, sf_dir):
+    """Routed spans sink sample (rows-only; exact per-record equality is
+    asserted in pytest against the sequential oracle)."""
+    return _pipeline(spark).sinks["spans"].orderBy("trace_id", "span_id").limit(100)
+
+
+# ===========================================================================
+# Validation / filter operators (F-series) on the shared events table.
+# ===========================================================================
+
+
+@q(
+    "f2_prefix_filter",
+    """
+    SELECT event_type, count(*) AS n FROM events
+    WHERE props LIKE '{"k%' GROUP BY event_type ORDER BY event_type
+    """,
+)
+def f2_prefix_filter(spark, sf_dir):
+    """F2 content-type prefix predicate (handler_common.go:21-26)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.startswith(F.col("props"), F.lit('{"k')))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "f3_size_guard",
+    """
+    SELECT
+      CAST(sum(CASE WHEN strlen(props) <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+      CAST(sum(CASE WHEN strlen(props) > 8 THEN 1 ELSE 0 END) AS BIGINT) AS rejected
+    FROM events
+    """,
+)
+def f3_size_guard(spark, sf_dir):
+    """F3 size limit split (MaxBytesReader, handler_common.go:28-31)."""
+    ev = _t(spark, sf_dir, "events")
+    admitted = val.within_size_limit(8, "props")
+    return ev.agg(
+        F.sum(F.when(admitted, 1).otherwise(0)).cast("long").alias("admitted"),
+        F.sum(F.when(~admitted, 1).otherwise(0)).cast("long").alias("rejected"),
+    )
+
+
+@q(
+    "f4_nonempty_filter",
+    """
+    SELECT source, count(*) AS n FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> '' GROUP BY source ORDER BY source
+    """,
+)
+def f4_nonempty_filter(spark, sf_dir):
+    """F4 empty-body filter (handler_common.go:37-41)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(val.non_empty_text("text"))
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).orderBy("source")
+    )
+
+
+# ===========================================================================
+# Parse / projection / scalar functions (P/C-series).
+# ===========================================================================
+
+
+@q(
+    "p1_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def p1_json_extract(spark, sf_dir):
+    """P1/C6: JSON decode of the payload column (handler_common.go:33-36)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "p8_time_nanos",
+    """
+    SELECT event_id, CAST(epoch_us(ts) * 1000 AS BIGINT) AS ts_nanos
+    FROM events WHERE event_id < 200 ORDER BY event_id
+    """,
+)
+def p8_time_nanos(spark, sf_dir):
+    """P8/C3: nanosecond timestamp handling (database/shared.go:122-136)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            # parquet timestamps load as TIMESTAMP_NTZ; cast keeps wall time
+            # under the UTC session (≙ epoch_us in DuckDB's naive timestamps)
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_nanos"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "c8_backup_timestamp",
+    """
+    SELECT event_id, strftime(ts, '%Y%m%d-%H%M%S') AS backup_name
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+)
+def c8_backup_timestamp(spark, sf_dir):
+    """C8: the rotation backup-name format '20060102-150405'
+    (logging/rotation.go:61-62)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") < 100)
+        .select("event_id", F.date_format("ts", "yyyyMMdd-HHmmss").alias("backup_name"))
+        .orderBy("event_id")
+    )
+
+
+# ===========================================================================
+# Routing (R-series).
+# ===========================================================================
+
+
+@q(
+    "r1_route_counts",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+)
+def r1_route_counts(spark, sf_dir):
+    """R1: signal-type fan-out accounting (main.go:119-121)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+@q(
+    "r2_type_discriminator",
+    """
+    SELECT CASE WHEN event_type IN ('click','view') THEN 'trace'
+                WHEN event_type = 'error' THEN 'log'
+                WHEN event_type IN ('purchase','signup') THEN 'metric'
+           END AS signal_type,
+           count(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def r2_type_discriminator(spark, sf_dir):
+    """R2: first-match type discriminator (database/metrics.go:105-116)."""
+    ev = _t(spark, sf_dir, "events")
+    disc = (
+        F.when(F.col("event_type").isin("click", "view"), "trace")
+        .when(F.col("event_type") == "error", "log")
+        .when(F.col("event_type").isin("purchase", "signup"), "metric")
+    )
+    return (
+        ev.select(disc.alias("signal_type"))
+        .groupBy("signal_type").agg(F.count(F.lit(1)).alias("n")).orderBy("signal_type")
+    )
+
+
+# ===========================================================================
+# Aggregation / accounting / windows (A-series).
+# ===========================================================================
+
+
+@q(
+    "a1_request_accounting",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(strlen(props)) AS BIGINT) AS total_bytes
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a1_request_accounting(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.octet_length("props")).cast("long").alias("total_bytes"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "a3_time_bucket_counts",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS bucket, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def a3_time_bucket_counts(spark, sf_dir):
+    """A3: tumbling 1h window (north_star time-bucket aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:00:00").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+@q(
+    "a5_retention_topk",
+    """
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 7 ORDER BY user_id, rn
+    """,
+)
+def a5_retention_topk(spark, sf_dir):
+    """A5: MaxBackups retention — newest K per key
+    (logging/rotation.go:153-165)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "order_key", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    kept = agg.retention_top_k(ev, key="user_id", order_col="order_key", k=7)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    )
+
+
+@q(
+    "a5_retention_age",
+    """
+    SELECT user_id, count(*) AS kept FROM (
+      SELECT user_id, ts, max(ts) OVER (PARTITION BY user_id) AS newest FROM events
+    ) WHERE ts >= newest - INTERVAL 7 DAY GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a5_retention_age(spark, sf_dir):
+    """A5: MaxAge retention cutoff (logging/rotation.go:168-185, C9)."""
+    ev = _t(spark, sf_dir, "events")
+    kept = agg.retention_top_k(
+        ev, key="user_id", order_col="ts", k=10**9, max_age_days=7
+    )
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("kept")).orderBy("user_id")
+
+
+# ===========================================================================
+# Dedup / joins / enrichment (D-series).
+# ===========================================================================
+
+
+@q(
+    "d1_dedup_natural_key",
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+)
+def d1_dedup_natural_key(spark, sf_dir):
+    """D1: unique-index dedup on a natural key (database/shared.go:25-67)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates().orderBy("user_id", "event_type")
+
+
+@q(
+    "d3_first_definition_wins",
+    """
+    SELECT event_type, round(sum(value), 4) AS first_value_sum FROM (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d3_first_definition_wins(spark, sf_dir):
+    """D3: first-definition-wins metadata (database/shared.go:140-141)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value"), 4).alias("first_value_sum"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "d5_broadcast_enrichment",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def d5_broadcast_enrichment(spark, sf_dir):
+    """D5: broadcast-join FK/lookup enrichment (database/traces.go:34,62,79;
+    north-rule §4.2.3 explicit F.broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("segment")
+    )
+
+
+@q(
+    "extra_anti_join",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_customers_without_events
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def extra_anti_join(spark, sf_dir):
+    """Anti join (capability the reference lacks — SURVEY §2.4 notes —
+    included as engine coverage)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers_without_events"))
+        .orderBy("segment")
+    )
+
+
+# ===========================================================================
+# Relational coverage (classic rollup/join/window shapes).
+# ===========================================================================
+
+
+@q(
+    "q1_lineitem_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "q3_top_revenue_orders",
+    """
+    SELECT o_orderkey, revenue, segment FROM (
+      SELECT o.o_orderkey AS o_orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             any_value(c.c_mktsegment) AS segment,
+             row_number() OVER (
+               ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                        o.o_orderkey
+             ) AS rn
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ) WHERE rn <= 10 ORDER BY rn
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.any_value("c_mktsegment").alias("segment"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .orderBy("rn")
+        .select("o_orderkey", "revenue", "segment")
+    )
+
+
+@q(
+    "q5_region_nation_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_suppliers, round(sum(s.s_acctbal), 2) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q5_region_nation_rollup(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"))
+        .orderBy("region", "nation")
+    )
+
+
+@q(
+    "w1_window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+)
+def w1_window_rank_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ===========================================================================
+# Training-data pipeline operators (brief §datapipe).
+# ===========================================================================
+
+
+@q(
+    "dp_dedup_exact",
+    """
+    SELECT fingerprint, n_docs, doc_ids FROM (
+      SELECT md5(text) AS fingerprint, count(*) AS n_docs,
+             list_sort(list(doc_id)) AS doc_ids
+      FROM documents GROUP BY md5(text)
+    ) WHERE n_docs > 1 ORDER BY fingerprint
+    """,
+)
+def dp_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_duplicates(docs).orderBy("fingerprint")
+
+
+@q(
+    "dp_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dp_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dtext.fingerprint_col(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@q(
+    "dp_token_count",
+    """
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+           round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 4) AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dp_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tc = dtext.token_count_col(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(F.sum(tc).cast("long").alias("total_tokens"),
+             F.round(F.avg(tc), 4).alias("avg_tokens"))
+        .orderBy("lang")
+    )
+
+
+def _occ_sql(needle: str) -> str:
+    pad = f"' ' || lower(text) || ' '"
+    return (
+        f"CAST((strlen({pad}) - strlen(replace({pad}, ' {needle} ', ''))) "
+        f"/ {len(needle) + 2} AS BIGINT)"
+    )
+
+
+@q(
+    "dp_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_occ_sql('the')} + {_occ_sql('and')} + {_occ_sql('of')} AS s_en,
+             {_occ_sql('el')} + {_occ_sql('la')} + {_occ_sql('que')} AS s_es,
+             {_occ_sql('der')} + {_occ_sql('und')} + {_occ_sql('die')} AS s_de
+      FROM documents
+    )
+    SELECT CASE
+             WHEN s_en > 0 AND s_en >= greatest(s_es, s_de) THEN 'en'
+             WHEN s_es > 0 AND s_es >= greatest(s_en, s_de) THEN 'es'
+             WHEN s_de > 0 AND s_de >= greatest(s_en, s_es) THEN 'de'
+             ELSE 'unknown'
+           END AS predicted_lang,
+           count(*) AS n
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def dp_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(dtext.lang_id_col(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("predicted_lang")
+    )
+
+
+@q(
+    "dp_quality_score",
+    """
+    SELECT doc_id,
+           strlen(text) AS n_chars,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+           round(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 / greatest(strlen(text), 1), 4) AS token_density,
+           round(strlen(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
+             AS mean_token_len,
+           round((strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+                 / greatest(strlen(text), 1), 4) AS non_alnum_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dp_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cols = dtext.quality_cols(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    ).orderBy("doc_id")
+
+
+@q(
+    "dp_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             )) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.inter,
+           sa.n AS na, sb.n AS nb,
+           round(p.inter / (sa.n + sb.n - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE round(p.inter / (sa.n + sb.n - p.inter), 4) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dp_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, n=3)
+    return dd.jaccard_pairs(sh, threshold=0.6).orderBy("doc_a", "doc_b")
+
+
+@q("dp_minhash_lsh")
+def dp_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16x4) candidates verified by exact Jaccard.
+    No SQL oracle (xxhash64-seeded); pytest checks recall vs the exact
+    pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, n=3)
+    cand = dd.minhash_lsh_candidates(dd.minhash_signatures(sh, 64), bands=16, rows=4)
+    return dd.jaccard_pairs(sh, threshold=0.6, candidates=cand).orderBy("doc_a", "doc_b")
+
+
+@q("dp_simhash_neardup")
+def dp_simhash_neardup(spark, sf_dir):
+    """SimHash64 near-dups (Hamming <= 3). No SQL oracle (xxhash64);
+    pytest verifies against an independent Python SimHash."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_dups(dd.simhash(docs), max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@q(
+    "dp_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+          >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dp_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup detection (brute force at test scale;
+    the LSH path below is the 100 TB strategy)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(sim.cosine_col(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@q(
+    "dp_ann_brute_topk",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 4)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     v.embedding::DOUBLE[]), 4) DESC,
+                        v.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def dp_ann_brute_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@q("dp_ann_lsh_topk")
+def dp_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the scale path). No SQL oracle
+    (seeded hyperplanes); pytest measures recall vs brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.lsh_topk(emb, queries, dim=64, k=10).orderBy("query_id", "rank")
+
+
+@q(
+    "dp_multimodal_features",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+           CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+           CAST((strlen(text) * 2654435761) % 2147483648 AS BIGINT) AS checksum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dp_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing + mapInPandas feature extraction (decode
+    kernel stubbed deterministically — real codecs absent in sandbox)."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.extract_features(mm.to_media(docs)).orderBy("doc_id")
