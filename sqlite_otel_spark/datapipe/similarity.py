@@ -92,11 +92,13 @@ def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 16) -> Column:
 
 def lsh_topk(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-    n_planes: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 12, bands: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only pairs whose LSH signatures differ in
-    <=2 of n_planes bits (bucket join on signature + Hamming probe).
-    Trades recall for replacing the cross join with an equi-join."""
+    """Approximate top-k: candidates are pairs agreeing on at least one of
+    ``bands`` (n_planes/bands)-bit signature bands — an equi-join on
+    (band, band_bits) instead of the cross join. Recall/selectivity trade
+    via bands: more bands of fewer bits = higher recall, more candidates."""
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
         lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("sig_v"),
@@ -105,21 +107,20 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("sig_q"),
     )
-    # Multi-probe: bucket key = signature with one band masked; join on the
-    # 2 half-signatures (any near pair agrees on one half w.h.p.).
-    half = n_planes // 2
-    lo = F.lit((1 << half) - 1)
+    r_bits = n_planes // bands
+    mask = F.lit((1 << r_bits) - 1)
 
     def keyed(df, sig, idc, vc):
-        return df.select(
-            idc, vc,
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("band"), F.col(sig).bitwiseAND(lo).alias("bh")),
-                    F.struct(F.lit(1).alias("band"), F.shiftright(F.col(sig), half).alias("bh")),
-                )
-            ).alias("x"),
-        ).select(idc, vc, "x.band", "x.bh")
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig), b * r_bits).bitwiseAND(mask).alias("bh"),
+            )
+            for b in range(bands)
+        ])
+        return df.select(idc, vc, F.explode(band_structs).alias("x")).select(
+            idc, vc, "x.band", "x.bh"
+        )
 
     cand = (
         keyed(q, "sig_q", "query_id", "qv")

@@ -560,6 +560,48 @@ def _result(signal_type: str | None, error: str | None, out: dict | None = None)
     return rec
 
 
+def extract_span_keys(text: str | None, max_bytes: int = 10 * 1024 * 1024) -> list[dict]:
+    """Cheap span-PK scan for the checkpointed plan's global conflict
+    stage (plans/checkpoint.py): returns every (trace_id, span_id) a
+    trace turn WOULD try to insert, without validation or
+    canonicalization (an over-approximation is fine — conflicting turns
+    get a full parse before the sequential replay). Non-trace /
+    undecodable / oversize turns yield []."""
+    if text is None or not text.lstrip().startswith("{"):
+        return []
+    if len(text.encode("utf-8", errors="surrogatepass")) > max_bytes:
+        return []
+    try:
+        data = go_loads(text)
+    except Exception:
+        return []
+    if not isinstance(data, dict) or "resourceSpans" not in data:
+        return []
+    keys: list[dict] = []
+    rss = data.get("resourceSpans")
+    if not isinstance(rss, list):
+        return []
+    for rs in rss:
+        if not isinstance(rs, dict) or not isinstance(rs.get("resource"), dict):
+            continue
+        sss = rs.get("scopeSpans")
+        if not isinstance(sss, list):
+            continue
+        for ss in sss:
+            if not isinstance(ss, dict):
+                continue
+            spans = ss.get("spans")
+            if not isinstance(spans, list):
+                continue
+            for s in spans:
+                if not isinstance(s, dict):
+                    continue
+                tid, sid = s.get("traceId"), s.get("spanId")
+                if isinstance(tid, str) and tid and isinstance(sid, str) and sid:
+                    keys.append({"trace_id": tid, "span_id": sid})
+    return keys
+
+
 def parse_turn(text: str | None, max_bytes: int = 10 * 1024 * 1024) -> dict:
     """Parse one transcript turn exactly as the reference processes one
     HTTP request body. Returns the PARSED_SCHEMA dict; on any error the

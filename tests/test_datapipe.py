@@ -1,0 +1,163 @@
+"""Training-data ops: hash-seeded operators (MinHash/SimHash/LSH) are
+verified against independent Python implementations and recall targets;
+the SQL-expressible ones are covered by scripts/verify_oracle.py and the
+driver's DuckDB gate."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlite_otel_spark.datapipe import dedup as dd
+from sqlite_otel_spark.datapipe import multimodal as mm
+from sqlite_otel_spark.datapipe import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # add guaranteed near-duplicates: doc N' = doc N with one word changed
+    dupes = (
+        base.filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    return base.unionByName(dupes).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _python_tokens(text):
+    return re.findall("[a-z0-9]+", text.lower())
+
+
+def _python_shingles(text, n=3):
+    t = _python_tokens(text)
+    return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+
+def test_shingles_match_python(spark, docs):
+    got = {
+        (r.doc_id, r.shingle)
+        for r in dd.shingles(docs.filter(F.col("doc_id") < 5)).collect()
+    }
+    want = set()
+    for r in docs.filter(F.col("doc_id") < 5).collect():
+        for s in _python_shingles(r.text):
+            want.add((r.doc_id, s))
+    assert got == want
+
+
+def test_jaccard_pairs_match_python(spark, docs):
+    sub = docs.filter((F.col("doc_id") < 10) | (F.col("doc_id") >= 100000))
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in dd.jaccard_pairs(dd.shingles(sub), 0.5).collect()}
+    rows = {r.doc_id: _python_shingles(r.text) for r in sub.collect()}
+    want = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(rows[a] & rows[b])
+            if inter:
+                j = round(inter / len(rows[a] | rows[b]), 4)
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert got == pytest.approx(want)
+    # the planted near-dups must be found
+    assert all((i, i + 100000) in got for i in range(10))
+
+
+def test_minhash_lsh_recall(spark, docs):
+    sh = dd.shingles(docs)
+    exact = {
+        (r.doc_a, r.doc_b) for r in dd.jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    assert len(exact) >= 10  # planted dups are >0.8 jaccard
+    cand = dd.minhash_lsh_candidates(dd.minhash_signatures(sh, 64), bands=16, rows=4)
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in dd.jaccard_pairs(sh, threshold=0.8, candidates=cand).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9  # 16x4 banding: P(detect) ~ 1-(1-j^4)^16 >= .998 at j=.8
+    assert approx <= exact
+
+
+def test_simhash_matches_python(spark, docs):
+    import ctypes
+
+    def xxhash64_py(spark_df_rows):  # use Spark itself to get token hashes
+        pass
+
+    sub = docs.filter(F.col("doc_id") < 20)
+    got = {r.doc_id: r.simhash for r in dd.simhash(sub).collect()}
+
+    # independent: compute via spark xxhash64 on distinct tokens, then fold
+    # the bit-sums in Python
+    toks = (
+        sub.select("doc_id", F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias("tok"))
+        .withColumn("th", F.xxhash64("tok"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0] * 64)
+    for r in toks:
+        h = r.th & (2**64 - 1)
+        for j in range(64):
+            sums[r.doc_id][j] += 1 if (h >> j) & 1 else -1
+    want = {}
+    for d, bits in sums.items():
+        fp = 0
+        for j in range(64):
+            if bits[j] > 0:
+                fp |= 1 << j
+        want[d] = ctypes.c_int64(fp).value
+    assert got == want
+
+
+def test_simhash_near_dups_find_planted(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dd.simhash_near_dups(dd.simhash(docs), 3).collect()}
+    hits = sum((i, i + 100000) in pairs for i in range(10))
+    assert hits >= 8  # one-word change flips few bits; allow slack
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = sim.brute_force_topk(emb, queries, k=10).collect()
+    approx = sim.lsh_topk(emb, queries, dim=64, k=10).collect()
+    bsets = {}
+    for r in brute:
+        bsets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    asets = {}
+    for r in approx:
+        asets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(bsets[q] & asets.get(q, set())) / len(bsets[q]) for q in bsets]
+    assert sum(recalls) / len(recalls) >= 0.5  # 2x6-bit bands, random vectors
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = mm.to_media(docs.filter(F.col("doc_id") < 30))
+    feats = {r.doc_id: r for r in mm.extract_features(media).collect()}
+    for r in docs.filter(F.col("doc_id") < 30).collect():
+        f = feats[r.doc_id]
+        n = len(r.text.encode())
+        assert f.n_bytes == n
+        assert (f.width, f.height) == (n % 640 + 1, n % 480 + 1)
+        assert f.media_type == ["image", "audio", "video"][r.doc_id % 3]
+    frames = mm.frame_sample(media.filter(F.col("doc_id") == 0))
+    assert frames.count() >= 1
+
+
+def test_exact_duplicates(spark, docs):
+    twice = docs.unionByName(docs.filter(F.col("doc_id") < 3))
+    groups = dd.exact_duplicates(twice).collect()
+    assert len(groups) == 3
+    assert all(g.n_docs == 2 for g in groups)
