@@ -126,16 +126,155 @@ def pipeline_accounting(spark, sf_dir):
     )
 
 
-@q("pipeline_by_signal_tool")
+@q(
+    "pipeline_by_signal_tool",
+    """
+    SELECT * FROM (VALUES
+        ('log', 'bash', CAST(165 AS BIGINT)),
+        ('log', 'ghost', CAST(172 AS BIGINT)),
+        ('log', 'none', CAST(164 AS BIGINT)),
+        ('log', 'read', CAST(173 AS BIGINT)),
+        ('log', 'search', CAST(161 AS BIGINT)),
+        ('log', 'write', CAST(172 AS BIGINT)),
+        ('metric', 'bash', CAST(69 AS BIGINT)),
+        ('metric', 'ghost', CAST(47 AS BIGINT)),
+        ('metric', 'none', CAST(67 AS BIGINT)),
+        ('metric', 'read', CAST(65 AS BIGINT)),
+        ('metric', 'search', CAST(76 AS BIGINT)),
+        ('metric', 'write', CAST(61 AS BIGINT)),
+        ('trace', 'bash', CAST(114 AS BIGINT)),
+        ('trace', 'ghost', CAST(104 AS BIGINT)),
+        ('trace', 'none', CAST(105 AS BIGINT)),
+        ('trace', 'read', CAST(103 AS BIGINT)),
+        ('trace', 'search', CAST(104 AS BIGINT)),
+        ('trace', 'write', CAST(83 AS BIGINT))
+    ) AS t(signal_type, tool, n_turns)
+    """,
+)
 def pipeline_by_signal_tool(spark, sf_dir):
-    """A2 by tool over the broadcast-enriched routed stream (rows-only:
-    covered exactly by tests/test_pipeline_vs_oracle.py)."""
+    """A2 by tool over the broadcast-enriched routed stream; golden
+    VALUES from the sequential oracle (regen with scripts/regen_goldens.py)."""
     return _pipeline(spark).by_signal_tool
 
 
-@q("pipeline_time_rollup")
+@q(
+    "pipeline_time_rollup",
+    """
+    SELECT * FROM (VALUES
+        (TIMESTAMP '2025-01-01 00:00:00', 'log', 'bash', CAST(29 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'log', 'ghost', CAST(32 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'log', 'none', CAST(36 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'log', 'read', CAST(33 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'log', 'search', CAST(35 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'log', 'write', CAST(32 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'metric', 'bash', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'metric', 'ghost', CAST(10 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'metric', 'none', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'metric', 'read', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'metric', 'search', CAST(12 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'metric', 'write', CAST(9 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'trace', 'bash', CAST(25 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'trace', 'ghost', CAST(15 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'trace', 'none', CAST(18 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'trace', 'read', CAST(23 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'trace', 'search', CAST(22 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 00:00:00', 'trace', 'write', CAST(17 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'log', 'bash', CAST(33 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'log', 'ghost', CAST(29 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'log', 'none', CAST(41 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'log', 'read', CAST(36 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'log', 'search', CAST(29 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'log', 'write', CAST(31 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'metric', 'bash', CAST(10 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'metric', 'ghost', CAST(13 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'metric', 'none', CAST(12 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'metric', 'read', CAST(16 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'metric', 'search', CAST(18 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'metric', 'write', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'trace', 'bash', CAST(13 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'trace', 'ghost', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'trace', 'none', CAST(23 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'trace', 'read', CAST(18 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'trace', 'search', CAST(23 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 01:00:00', 'trace', 'write', CAST(16 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'log', 'bash', CAST(31 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'log', 'ghost', CAST(22 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'log', 'none', CAST(31 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'log', 'read', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'log', 'search', CAST(35 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'log', 'write', CAST(36 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'metric', 'bash', CAST(12 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'metric', 'ghost', CAST(9 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'metric', 'none', CAST(18 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'metric', 'read', CAST(6 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'metric', 'search', CAST(9 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'metric', 'write', CAST(8 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'trace', 'bash', CAST(26 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'trace', 'ghost', CAST(26 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'trace', 'none', CAST(19 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'trace', 'read', CAST(18 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'trace', 'search', CAST(20 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 02:00:00', 'trace', 'write', CAST(10 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'log', 'bash', CAST(26 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'log', 'ghost', CAST(31 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'log', 'none', CAST(24 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'log', 'read', CAST(23 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'log', 'search', CAST(16 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'log', 'write', CAST(22 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'metric', 'bash', CAST(9 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'metric', 'ghost', CAST(4 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'metric', 'none', CAST(5 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'metric', 'read', CAST(15 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'metric', 'search', CAST(9 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'metric', 'write', CAST(10 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'trace', 'bash', CAST(15 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'trace', 'ghost', CAST(23 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'trace', 'none', CAST(18 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'trace', 'read', CAST(15 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'trace', 'search', CAST(15 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 03:00:00', 'trace', 'write', CAST(12 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'log', 'bash', CAST(23 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'log', 'ghost', CAST(32 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'log', 'none', CAST(16 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'log', 'read', CAST(29 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'log', 'search', CAST(22 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'log', 'write', CAST(22 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'metric', 'bash', CAST(10 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'metric', 'ghost', CAST(5 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'metric', 'none', CAST(11 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'metric', 'read', CAST(11 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'metric', 'search', CAST(17 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'metric', 'write', CAST(10 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'trace', 'bash', CAST(18 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'trace', 'ghost', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'trace', 'none', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'trace', 'read', CAST(11 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'trace', 'search', CAST(11 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 04:00:00', 'trace', 'write', CAST(17 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'log', 'bash', CAST(23 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'log', 'ghost', CAST(26 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'log', 'none', CAST(16 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'log', 'read', CAST(38 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'log', 'search', CAST(24 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'log', 'write', CAST(29 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'metric', 'bash', CAST(14 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'metric', 'ghost', CAST(6 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'metric', 'none', CAST(7 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'metric', 'read', CAST(3 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'metric', 'search', CAST(11 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'metric', 'write', CAST(10 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'trace', 'bash', CAST(17 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'trace', 'ghost', CAST(12 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'trace', 'none', CAST(13 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'trace', 'read', CAST(18 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'trace', 'search', CAST(13 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 05:00:00', 'trace', 'write', CAST(11 AS BIGINT))
+    ) AS t(bucket_start, signal_type, tool, n_turns)
+    """,
+)
 def pipeline_time_rollup(spark, sf_dir):
-    """A3: tumbling 1h window counts by signal/tool on the transcripts."""
+    """A3: tumbling 1h window counts by signal/tool on the transcripts;
+    golden VALUES from the sequential oracle."""
     return _pipeline(spark).by_time_bucket
 
 
