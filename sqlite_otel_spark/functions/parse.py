@@ -13,8 +13,8 @@ semantics of the reference collector's write path:
    ANY record-level error discards the whole turn, including its
    dimension touches)
 
-``parse_turn`` is used by the pipeline's Arrow-vectorized pandas UDF
-(operators/parse_udf.py). The pytest oracle (oracle.py) is an
+``parse_turn``/``turn_records`` feed the pipeline's Arrow-vectorized
+``mapInPandas`` stage (operators/records.py). The pytest oracle (oracle.py) is an
 independent sequential implementation of the same Go semantics; the two
 share nothing but the canonical-JSON helper, whose correctness only
 matters for self-consistent dedup keys.
@@ -47,10 +47,12 @@ from typing import Any
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from sqlite_otel_spark.functions.canonical_json import canonical_dumps, go_loads
@@ -600,6 +602,130 @@ def extract_span_keys(text: str | None, max_bytes: int = 10 * 1024 * 1024) -> li
                 if isinstance(tid, str) and tid and isinstance(sid, str) and sid:
                     keys.append({"trace_id": tid, "span_id": sid})
     return keys
+
+
+# ---------------------------------------------------------------------------
+# Flat union-record emission (the physical parse output).
+#
+# One row per extracted record instead of one nested struct per turn:
+# a 'rec_kind'-discriminated union over all sink columns. This is the
+# shape that survives scale — every column is a scalar, so the Arrow
+# batch -> JVM row conversion is cheap, the in-memory columnar cache
+# and parquet staging both prune to exactly the columns a sink needs,
+# and partition/predicate pushdown on rec_kind replaces repeated scans
+# of a fat nested blob. (Measured on 200k turns/local[32]: the nested
+# variant spent >80% of pipeline wall in nested-row conversion and
+# full-width cache scans.)
+# ---------------------------------------------------------------------------
+
+RECORD_KINDS = ("turn", "resource", "scope", "metric_def", "span", "log", "point")
+
+_TS = TimestampType()
+_D = DoubleType()
+
+RECORDS_SCHEMA = StructType(
+    [
+        StructField("rec_kind", _S, False),
+        # lineage (every row)
+        StructField("conv_id", _S, True),
+        StructField("turn_idx", IntegerType(), True),
+        StructField("role", _S, True),
+        StructField("tool", _S, True),
+        StructField("ts", _TS, True),
+        # turn rows only
+        StructField("signal_type", _S, True),
+        StructField("error", _S, True),
+        StructField("n_bytes", _L, True),
+        StructField("text", _S, True),
+        # dimension natural keys (resource/scope/metric_def/span/log/point)
+        StructField("res_attributes", _S, True),
+        StructField("res_schema_url", _S, True),
+        StructField("scope_name", _S, True),
+        StructField("scope_version", _S, True),
+        StructField("scope_attributes", _S, True),
+        StructField("scope_schema_url", _S, True),
+        # metric_def
+        StructField("pos", _L, True),
+        StructField("name", _S, True),  # shared: metric_def + span name
+        StructField("description", _S, True),
+        StructField("unit", _S, True),
+        StructField("metric_type", _S, True),  # shared: metric_def + point
+        # span
+        StructField("trace_id", _S, True),  # shared: span + log
+        StructField("span_id", _S, True),   # shared: span + log
+        StructField("trace_state", _S, True),
+        StructField("parent_span_id", _S, True),
+        StructField("kind", _L, True),
+        StructField("start_time_unix_nano", _L, True),  # shared: span + point
+        StructField("end_time_unix_nano", _L, True),
+        StructField("attributes", _S, True),  # shared: span + log + point
+        StructField("events", _S, True),
+        StructField("links", _S, True),
+        StructField("status_code", _L, True),
+        StructField("status_message", _S, True),
+        # log
+        StructField("time_unix_nano", _L, True),  # shared: log + point
+        StructField("observed_time_unix_nano", _L, True),
+        StructField("severity_number", _L, True),
+        StructField("severity_text", _S, True),
+        StructField("body", _S, True),
+        StructField("flags", _L, True),  # shared: log + point
+        # point
+        StructField("metric_name", _S, True),
+        StructField("value_double", _D, True),
+        StructField("value_int", _L, True),
+        StructField("exemplars", _S, True),
+    ]
+)
+
+RECORD_COLS = [f.name for f in RECORDS_SCHEMA.fields]
+
+
+def turn_records(
+    conv_id: str,
+    turn_idx: int,
+    role: str | None,
+    tool: str | None,
+    ts,
+    text: str | None,
+    max_bytes: int = 10 * 1024 * 1024,
+) -> list[dict]:
+    """Parse one turn and emit its flat union records: exactly one
+    'turn' row (accounting + routing + text-equality surface) plus one
+    row per dimension touch / fact the reference would insert. On a
+    turn-level error only the 'turn' row is emitted (tx rollback)."""
+    p = parse_turn(text, max_bytes)
+    lineage = {
+        "conv_id": conv_id,
+        "turn_idx": turn_idx,
+        "role": role,
+        "tool": tool,
+        "ts": ts,
+    }
+    n_bytes = (
+        None if text is None else len(text.encode("utf-8", errors="surrogatepass"))
+    )
+    recs: list[dict] = [
+        {
+            **lineage,
+            "rec_kind": "turn",
+            "signal_type": p["signal_type"],
+            "error": p["error"],
+            "n_bytes": n_bytes,
+            "text": text,
+        }
+    ]
+    for kind, plural in (
+        ("resource", "resources"),
+        ("scope", "scopes"),
+        ("metric_def", "metric_defs"),
+        ("span", "spans"),
+        ("log", "logs"),
+        ("point", "points"),
+    ):
+        for r in p[plural]:
+            recs.append({**lineage, "rec_kind": kind, **r})
+    return recs
 
 
 def parse_turn(text: str | None, max_bytes: int = 10 * 1024 * 1024) -> dict:

@@ -12,12 +12,13 @@ for later turns — a sequential cascade:
 Distributed resolution: only turns that contain a *globally duplicated*
 key can be affected (keys unique to one turn can never collide). Those
 turns are a vanishing fraction of real telemetry (duplicate span ids are
-pathological), so we compute the duplicate-key set with one aggregation,
-semi-join down to the conflicting turns, collect just their (turn, key)
-pairs to the driver, and replay the sequential commit order there. The
-verdict set is broadcast back as an anti-join. A hard cap guards the
-collect; exceeding it means the input is adversarial and the job should
-fail loudly rather than OOM the driver.
+pathological), so ONE aggregation over the pruned span-key projection
+finds the duplicated keys and collects their touching turns in the same
+pass (collect_list rides the partial+final hash agg); the driver replays
+the sequential commit order over just those pairs. The verdict set is
+broadcast back as an anti-join. A hard cap guards the collect; exceeding
+it means the input is adversarial and the job should fail loudly rather
+than OOM the driver.
 
 Canonical arrival order is (conv_id, turn_idx) — the graft's stable
 ordering invariant (BASELINE.json input_hint).
@@ -34,38 +35,47 @@ class ConflictOverflowError(RuntimeError):
 
 
 def resolve_span_conflicts(
-    spark: SparkSession, parsed: DataFrame, max_conflict_turns: int = 100_000
+    spark: SparkSession, records: DataFrame, max_conflict_turns: int = 100_000
 ) -> tuple[DataFrame | None, int]:
     """Return (invalid_turns_df | None, n_invalid) — turns rejected by the
-    cross-turn spans PK cascade. ``parsed`` must carry conv_id, turn_idx
-    and the ``parsed`` struct; locally-failed turns have empty span
-    arrays and are transparently excluded."""
-    span_keys = (
-        parsed.select("conv_id", "turn_idx", F.explode("parsed.spans").alias("s"))
-        .select("conv_id", "turn_idx", "s.trace_id", "s.span_id")
+    cross-turn spans PK cascade. ``records`` is the flat record stream
+    (operators/records.py); locally-failed turns emitted no span rows and
+    are transparently excluded. ONE aggregation job over the pruned
+    (conv_id, turn_idx, trace_id, span_id) projection: duplicated keys
+    collect their touching turns in the same pass (map-side partial agg;
+    the dup set is near-empty in sane inputs)."""
+    span_keys = records.filter(F.col("rec_kind") == "span").select(
+        "conv_id", "turn_idx", "trace_id", "span_id"
     )
-    dup_keys = (
+    dup_rows = (
         span_keys.groupBy("trace_id", "span_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.slice(
+                F.collect_list(F.struct("conv_id", "turn_idx")),
+                1, max_conflict_turns + 1,
+            ).alias("turns"),
+        )
         .filter(F.col("n") > 1)
-        .drop("n")
+        .limit(max_conflict_turns + 1)
+        .collect()
     )
-    # Turns touching any duplicated key; AQE picks the join strategy
-    # (dup_keys is near-empty in sane inputs -> broadcast at runtime).
-    conflicted = span_keys.join(dup_keys, ["trace_id", "span_id"], "leftsemi")
-    rows = conflicted.limit(max_conflict_turns + 1).collect()
-    if len(rows) > max_conflict_turns:
+    if not dup_rows:
+        return None, 0
+    n_pairs = sum(r.n for r in dup_rows)
+    if len(dup_rows) > max_conflict_turns or n_pairs > max_conflict_turns:
         raise ConflictOverflowError(
             f"more than {max_conflict_turns} span-PK-conflicting turn/key pairs; "
             "input looks adversarial (duplicate trace/span ids at scale)"
         )
-    if not rows:
-        return None, 0
 
     # Sequential replay in canonical arrival order.
     by_turn: dict[tuple, list[tuple]] = {}
-    for r in rows:
-        by_turn.setdefault((r.conv_id, r.turn_idx), []).append((r.trace_id, r.span_id))
+    for r in dup_rows:
+        for t in r.turns:
+            by_turn.setdefault((t.conv_id, t.turn_idx), []).append(
+                (r.trace_id, r.span_id)
+            )
     committed: set[tuple] = set()
     invalid: list[tuple] = []
     for turn in sorted(by_turn):

@@ -51,13 +51,15 @@ def metric_id_expr(name: Column, metric_type: Column, rid: Column, sid: Column) 
     return F.xxhash64(F.lit("metric"), name, metric_type, rid, sid)
 
 
-def build_resources(parsed: DataFrame, mode: str = "hash") -> DataFrame:
-    """resources(id, attributes, schema_url) — db.go:63-67."""
+def build_resources(records: DataFrame, mode: str = "hash") -> DataFrame:
+    """resources(id, attributes, schema_url) — db.go:63-67. Input is the
+    flat record stream (operators/records.py); dimension touches are the
+    rec_kind='resource' rows."""
     touched = (
-        parsed.select(F.explode("parsed.resources").alias("r"))
+        records.filter(F.col("rec_kind") == "resource")
         .select(
-            F.col("r.res_attributes").alias("attributes"),
-            F.col("r.res_schema_url").alias("schema_url"),
+            F.col("res_attributes").alias("attributes"),
+            F.col("res_schema_url").alias("schema_url"),
         )
         .dropDuplicates(["attributes", "schema_url"])
     )
@@ -73,16 +75,16 @@ def build_resources(parsed: DataFrame, mode: str = "hash") -> DataFrame:
     )
 
 
-def build_scopes(parsed: DataFrame, mode: str = "hash") -> DataFrame:
+def build_scopes(records: DataFrame, mode: str = "hash") -> DataFrame:
     """instrumentation_scopes(id, name, version, attributes, schema_url)
     — db.go:70-76."""
     touched = (
-        parsed.select(F.explode("parsed.scopes").alias("s"))
+        records.filter(F.col("rec_kind") == "scope")
         .select(
-            F.col("s.scope_name").alias("name"),
-            F.col("s.scope_version").alias("version"),
-            F.col("s.scope_attributes").alias("attributes"),
-            F.col("s.scope_schema_url").alias("schema_url"),
+            F.col("scope_name").alias("name"),
+            F.col("scope_version").alias("version"),
+            F.col("scope_attributes").alias("attributes"),
+            F.col("scope_schema_url").alias("schema_url"),
         )
         .dropDuplicates(["name", "version", "attributes", "schema_url"])
     )
@@ -98,8 +100,14 @@ def build_scopes(parsed: DataFrame, mode: str = "hash") -> DataFrame:
     )
 
 
+METRIC_DEF_SRC = [
+    "pos", "name", "description", "unit", "metric_type",
+    *RESOURCE_NK, *SCOPE_NK,
+]
+
+
 def build_metric_defs(
-    parsed: DataFrame,
+    records: DataFrame,
     resources: DataFrame,
     scopes: DataFrame,
     mode: str = "hash",
@@ -108,9 +116,8 @@ def build_metric_defs(
     scope_id) — db.go:101-111. First definition wins for description/unit
     (shared.go:140-141): ranked by canonical arrival order
     (conv_id, turn_idx, in-turn pos)."""
-    defs = (
-        parsed.select("conv_id", "turn_idx", F.explode("parsed.metric_defs").alias("m"))
-        .select("conv_id", "turn_idx", "m.*")
+    defs = records.filter(F.col("rec_kind") == "metric_def").select(
+        "conv_id", "turn_idx", *METRIC_DEF_SRC
     )
     defs = attach_dim_ids(defs, resources, scopes, mode)
     w = (

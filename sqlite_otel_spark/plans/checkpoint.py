@@ -46,7 +46,8 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 from sqlite_otel_spark.config import PipelineConfig
 from sqlite_otel_spark.functions.parse import extract_span_keys, parse_turn
 from sqlite_otel_spark.operators import facts as facts_ops
-from sqlite_otel_spark.operators.parse_udf import with_parsed
+from sqlite_otel_spark.operators.dims import METRIC_DEF_SRC
+from sqlite_otel_spark.operators.records import to_records
 
 _KEYS_SCHEMA = ArrayType(
     StructType([
@@ -134,22 +135,15 @@ def _process_bucket(
     bucket: int,
     cfg: PipelineConfig,
 ) -> dict:
-    parsed = with_parsed(bucket_df, cfg.max_text_bytes).persist()
+    records = to_records(bucket_df, cfg.max_text_bytes).persist()
     try:
-        rejects = facts_ops.build_rejects(parsed)
-        valid = parsed.filter(F.col("parsed.error").isNull())
+        rejects = facts_ops.build_rejects(records)
+        valid = records
         if invalid_turns is not None:
-            conflict_rej = (
-                valid.join(F.broadcast(invalid_turns), ["conv_id", "turn_idx"], "leftsemi")
-                .select(
-                    *facts_ops.LINEAGE,
-                    F.col("parsed.signal_type").alias("signal_type"),
-                    F.lit("spans PK violation").alias("reason"),
-                    F.octet_length("text").alias("n_bytes"),
-                )
+            rejects = rejects.unionByName(
+                facts_ops.conflict_rejects(records, invalid_turns)
             )
-            rejects = rejects.unionByName(conflict_rej)
-            valid = valid.join(
+            valid = records.join(
                 F.broadcast(invalid_turns), ["conv_id", "turn_idx"], "left_anti"
             )
 
@@ -159,11 +153,18 @@ def _process_bucket(
             "log_records": facts_ops.build_log_records(valid, None, None, "hash"),
             "metric_data_points": facts_ops.build_points(valid, None, None, None, "hash"),
             "rejects": rejects,
-            "resources_touch": valid.select(F.explode("parsed.resources").alias("r")).select("r.*").dropDuplicates(),
-            "scopes_touch": valid.select(F.explode("parsed.scopes").alias("s")).select("s.*").dropDuplicates(),
+            "resources_touch": (
+                valid.filter(F.col("rec_kind") == "resource")
+                .select("res_attributes", "res_schema_url").dropDuplicates()
+            ),
+            "scopes_touch": (
+                valid.filter(F.col("rec_kind") == "scope")
+                .select("scope_name", "scope_version", "scope_attributes",
+                        "scope_schema_url").dropDuplicates()
+            ),
             "metric_defs_touch": (
-                valid.select("conv_id", "turn_idx", F.explode("parsed.metric_defs").alias("m"))
-                .select("conv_id", "turn_idx", "m.*")
+                valid.filter(F.col("rec_kind") == "metric_def")
+                .select("conv_id", "turn_idx", *METRIC_DEF_SRC)
             ),
         }
         counts = {}
@@ -173,7 +174,7 @@ def _process_bucket(
             counts[name] = spark.read.parquet(path).count()
         return counts
     finally:
-        parsed.unpersist()
+        records.unpersist()
 
 
 def run_checkpointed(

@@ -5,17 +5,24 @@ declarative DAG per run instead of one goroutine+transaction per HTTP
 request. Stage map:
 
     read transcripts                 (S1 — source)
-    salted repartition on conv_id    (north-rule §4.2.1, hot-conversation skew)
-    Arrow parse UDF                  (P1-P11, F1-F7 — one Python pass)
-    persist()                        (shared upstream of the 3-way fan-out, R1)
-    cross-turn span-PK resolution    (D4 cascade)
+    [salted repartition on conv_id]  (north-rule §4.2.1 — only when the
+                                      input layout is conversation-
+                                      clustered; parquet scan splits are
+                                      byte-balanced already)
+    Arrow mapInPandas parse          (P1-P11, F1-F7 — one Python pass
+                                      emitting the flat record stream,
+                                      operators/records.py)
+    persist()                        (shared upstream of the 3-way fan-out,
+                                      R1; flat schema -> pruned rescans)
+    cross-turn span-PK resolution    (D4 cascade, single aggregation)
     dims: resources/scopes/metrics   (D1-D3, dedup + surrogate keys)
-    facts: spans/log_records/points  (P2-P7 flatten + D5 FK enrichment)
+    facts: spans/log_records/points  (filter+project + D5 FK enrichment)
     role/tool broadcast enrichment   (D5 graft dims)
     sinks + accounting               (S3, A1-A3)
 
 Shuffle inventory (what actually moves at 100 TB):
- - parse + fact explode + hash-mode FK attach: narrow, zero shuffles;
+ - parse + fact filter/project + hash-mode FK attach: narrow, ZERO
+   shuffles end-to-end from scan to fact sink;
  - dim dedup: one shuffle each over the (tiny) distinct dim keys, with
    map-side partial aggregation;
  - span-conflict detection: one groupBy over (trace_id, span_id) —
@@ -37,7 +44,7 @@ from sqlite_otel_spark.operators import facts as facts_ops
 from sqlite_otel_spark.operators.conflicts import drop_conflicted, resolve_span_conflicts
 from sqlite_otel_spark.operators.dims import build_metric_defs, build_resources, build_scopes
 from sqlite_otel_spark.operators.enrich import enrich, role_dim, tool_dim
-from sqlite_otel_spark.operators.parse_udf import with_parsed
+from sqlite_otel_spark.operators.records import to_records
 
 SINK_TABLES = (
     "resources",
@@ -92,29 +99,22 @@ def run_pipeline(
 
     src = salted_repartition(transcripts, cfg, repartition_to) if do_salt else transcripts
 
-    parsed_all = with_parsed(src, cfg.max_text_bytes)
+    records_all = to_records(src, cfg.max_text_bytes)
     # One materialization shared by the reject sink, the conflict pass and
     # the 3-way fan-out (R1): without it every sink would re-run the UDF.
-    parsed_all = parsed_all.persist(StorageLevel.MEMORY_AND_DISK)
+    # The flat schema means each downstream scan prunes to its own columns.
+    records_all = records_all.persist(StorageLevel.MEMORY_AND_DISK)
 
-    rejects_local = facts_ops.build_rejects(parsed_all)
-    valid_local = parsed_all.filter(F.col("parsed.error").isNull())
+    rejects_local = facts_ops.build_rejects(records_all)
 
     invalid_turns, n_invalid = resolve_span_conflicts(
-        spark, valid_local, cfg.max_conflict_turns
+        spark, records_all, cfg.max_conflict_turns
     )
-    valid = drop_conflicted(valid_local, invalid_turns)
+    valid = drop_conflicted(records_all, invalid_turns)
     if invalid_turns is not None:
-        conflict_rejects = (
-            valid_local.join(F.broadcast(invalid_turns), ["conv_id", "turn_idx"], "leftsemi")
-            .select(
-                *facts_ops.LINEAGE,
-                F.col("parsed.signal_type").alias("signal_type"),
-                F.lit("spans PK violation").alias("reason"),
-                F.octet_length("text").alias("n_bytes"),
-            )
+        rejects = rejects_local.unionByName(
+            facts_ops.conflict_rejects(records_all, invalid_turns)
         )
-        rejects = rejects_local.unionByName(conflict_rejects)
     else:
         rejects = rejects_local
 
@@ -145,7 +145,7 @@ def run_pipeline(
         by_signal_tool=agg.counts_by_signal_tool(routed_enriched),
         by_time_bucket=agg.counts_by_time_bucket(routed_enriched),
         n_conflict_invalid=n_invalid,
-        persisted=[parsed_all],
+        persisted=[records_all],
     )
 
 
@@ -153,12 +153,40 @@ def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None
     """S3/S4: atomic per-table parquet commits (≙ the reference's
     per-request SQLite transaction + schema auto-init, database/db.go:53-165).
     Iceberg would give snapshot isolation on a real catalog; plain parquet
-    directories are the sandbox equivalent."""
+    directories are the sandbox equivalent.
+
+    The seven sink branches are independent sub-DAGs over the shared
+    persisted record stream, so they are submitted CONCURRENTLY from
+    driver threads (Spark's FIFO scheduler interleaves their stages):
+    sequential submission would leave most of the cluster idle on the
+    small dimension writes while paying full scheduling latency 7x."""
     cfg = cfg or PipelineConfig()
-    for name, df in result.sinks.items():
+
+    def write_one(item):
+        name, df = item
         (
             df.write.mode("overwrite")
             .option("compression", cfg.compression)
             .option("maxRecordsPerFile", cfg.max_records_per_file)
             .parquet(f"{out_dir}/{name}")
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(result.sinks)) as pool:
+        list(pool.map(write_one, result.sinks.items()))
+
+
+def collect_aggregates(result: PipelineResult) -> dict[str, list]:
+    """A1-A3 materialization, concurrently submitted (same rationale as
+    write_sinks)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = {
+        "accounting": result.accounting,
+        "by_signal_tool": result.by_signal_tool,
+        "by_time_bucket": result.by_time_bucket,
+    }
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        futs = {k: pool.submit(df.collect) for k, df in items.items()}
+        return {k: f.result() for k, f in futs.items()}

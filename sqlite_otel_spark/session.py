@@ -26,12 +26,21 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Arrow transfer for the vectorized parse UDF (SURVEY §2.9).
+        # Large batches amortize the per-batch worker round trip; the
+        # records emitted per input batch stay well under executor memory.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
         "spark.sql.session.timeZone": "UTC",
         # Keep parquet scans vectorized and pruned.
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.files.maxPartitionBytes": "128m",
+        # Single-JVM local mode: the driver IS the executor. The default
+        # 1g heap GC-thrashes under 32 concurrent tasks; AlwaysPreTouch
+        # prepays the (lazily host-faulted, expensive on microVMs) heap
+        # pages instead of paying them erratically mid-benchmark. Both
+        # only take effect on the first JVM launch in a process.
+        "spark.driver.memory": "12g",
+        "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch",
     }
     if extra_conf:
         conf.update(extra_conf)

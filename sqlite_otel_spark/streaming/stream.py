@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from sqlite_otel_spark.config import PipelineConfig
 from sqlite_otel_spark.operators import facts as facts_ops
 from sqlite_otel_spark.operators.conflicts import drop_conflicted, resolve_span_conflicts
-from sqlite_otel_spark.operators.parse_udf import with_parsed
+from sqlite_otel_spark.operators.dims import METRIC_DEF_SRC
+from sqlite_otel_spark.operators.records import to_records
 
 TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -51,51 +52,51 @@ def process_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int, out_dir: str,
     cfg: PipelineConfig,
 ) -> None:
-    parsed = with_parsed(batch_df, cfg.max_text_bytes).persist()
+    records = to_records(batch_df, cfg.max_text_bytes).persist()
     try:
-        rejects = facts_ops.build_rejects(parsed)
-        valid = parsed.filter(F.col("parsed.error").isNull())
-
-        def _conflict_rejects(src, turns):
-            return (
-                src.join(F.broadcast(turns), ["conv_id", "turn_idx"], "leftsemi")
-                .select(
-                    *facts_ops.LINEAGE,
-                    F.col("parsed.signal_type").alias("signal_type"),
-                    F.lit("spans PK violation").alias("reason"),
-                    F.octet_length("text").alias("n_bytes"),
-                )
-            )
+        rejects = facts_ops.build_rejects(records)
+        valid = records
 
         # within-batch sequential-commit replay
         invalid_turns, _ = resolve_span_conflicts(spark, valid, cfg.max_conflict_turns)
         if invalid_turns is not None:
-            rejects = rejects.unionByName(_conflict_rejects(valid, invalid_turns))
+            rejects = rejects.unionByName(
+                facts_ops.conflict_rejects(valid, invalid_turns)
+            )
         valid = drop_conflicted(valid, invalid_turns)
 
         # cross-batch PK state: turns colliding with already-committed spans
         committed = _committed_span_keys(spark, out_dir)
         if committed is not None:
-            batch_keys = valid.select(
-                "conv_id", "turn_idx", F.explode("parsed.spans").alias("s")
-            ).select("conv_id", "turn_idx", "s.trace_id", "s.span_id")
+            batch_keys = valid.filter(F.col("rec_kind") == "span").select(
+                "conv_id", "turn_idx", "trace_id", "span_id"
+            )
             clash_turns = (
                 batch_keys.join(committed.select("trace_id", "span_id"),
                                 ["trace_id", "span_id"], "leftsemi")
                 .select("conv_id", "turn_idx").distinct()
             )
             if clash_turns.limit(1).count() > 0:
-                rejects = rejects.unionByName(_conflict_rejects(valid, clash_turns))
+                rejects = rejects.unionByName(
+                    facts_ops.conflict_rejects(valid, clash_turns)
+                )
                 valid = valid.join(clash_turns, ["conv_id", "turn_idx"], "left_anti")
 
         spans = facts_ops.build_spans(valid, None, None, "hash")
         logs = facts_ops.build_log_records(valid, None, None, "hash")
         points = facts_ops.build_points(valid, None, None, None, "hash")
-        res_touch = valid.select(F.explode("parsed.resources").alias("r")).select("r.*").dropDuplicates()
-        sco_touch = valid.select(F.explode("parsed.scopes").alias("s")).select("s.*").dropDuplicates()
-        md_touch = valid.select(
-            "conv_id", "turn_idx", F.explode("parsed.metric_defs").alias("m")
-        ).select("conv_id", "turn_idx", "m.*")
+        res_touch = (
+            valid.filter(F.col("rec_kind") == "resource")
+            .select("res_attributes", "res_schema_url").dropDuplicates()
+        )
+        sco_touch = (
+            valid.filter(F.col("rec_kind") == "scope")
+            .select("scope_name", "scope_version", "scope_attributes",
+                    "scope_schema_url").dropDuplicates()
+        )
+        md_touch = valid.filter(F.col("rec_kind") == "metric_def").select(
+            "conv_id", "turn_idx", *METRIC_DEF_SRC
+        )
 
         for name, df in (
             ("spans", spans), ("log_records", logs), ("metric_data_points", points),
@@ -106,7 +107,7 @@ def process_batch(
                 f"{out_dir}/{name}"
             )
     finally:
-        parsed.unpersist()
+        records.unpersist()
 
 
 def start_stream(
