@@ -631,11 +631,16 @@ RECORDS_SCHEMA = StructType(
         StructField("turn_idx", IntegerType(), True),
         StructField("role", _S, True),
         StructField("tool", _S, True),
-        StructField("ts", _TS, True),
+        # transcript ts travels as unix MICROSECONDS through the Python
+        # stage (records.to_records restores TimestampType JVM-side):
+        # boxing ~10M pandas Timestamps per 2M turns costs more than the
+        # whole JSON parse.
+        StructField("ts_us", _L, True),
         # turn rows only
         StructField("signal_type", _S, True),
         StructField("error", _S, True),
-        StructField("n_bytes", _L, True),
+        # n_bytes (octet_length of text) is attached JVM-side by
+        # enrich_record_ids — no per-turn encode in Python.
         StructField("text", _S, True),
         # dimension natural keys (resource/scope/metric_def/span/log/point)
         StructField("res_attributes", _S, True),
@@ -700,18 +705,14 @@ def turn_records(
         "turn_idx": turn_idx,
         "role": role,
         "tool": tool,
-        "ts": ts,
+        "ts_us": ts,
     }
-    n_bytes = (
-        None if text is None else len(text.encode("utf-8", errors="surrogatepass"))
-    )
     recs: list[dict] = [
         {
             **lineage,
             "rec_kind": "turn",
             "signal_type": p["signal_type"],
             "error": p["error"],
-            "n_bytes": n_bytes,
             "text": text,
         }
     ]

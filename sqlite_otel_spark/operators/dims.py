@@ -116,10 +116,17 @@ def build_metric_defs(
     scope_id) — db.go:101-111. First definition wins for description/unit
     (shared.go:140-141): ranked by canonical arrival order
     (conv_id, turn_idx, in-turn pos)."""
-    defs = records.filter(F.col("rec_kind") == "metric_def").select(
-        "conv_id", "turn_idx", *METRIC_DEF_SRC
-    )
-    defs = attach_dim_ids(defs, resources, scopes, mode)
+    if mode == "hash" and "resource_id" in records.columns:
+        # ids were resolved on the stream by enrich_record_ids
+        defs = records.filter(F.col("rec_kind") == "metric_def").select(
+            "conv_id", "turn_idx", "pos", "name", "description", "unit",
+            "metric_type", "resource_id", "scope_id",
+        )
+    else:
+        defs = records.filter(F.col("rec_kind") == "metric_def").select(
+            "conv_id", "turn_idx", *METRIC_DEF_SRC
+        )
+        defs = attach_dim_ids(defs, resources, scopes, mode)
     w = (
         Window.partitionBy("name", "metric_type", "resource_id", "scope_id")
         .orderBy("conv_id", "turn_idx", "pos")
@@ -140,6 +147,49 @@ def build_metric_defs(
         id_col.alias("id"),
         "name", "description", "unit", "metric_type", "resource_id", "scope_id",
     )
+
+
+FACT_KINDS = ("span", "log", "point")
+
+
+def enrich_record_ids(records: DataFrame, mode: str = "hash") -> DataFrame:
+    """Resolve surrogate ids ONCE on the record stream right after parse,
+    then (hash mode) null out the six denormalized dimension-key strings
+    on fact rows before the stream is persisted/staged.
+
+    Scale rationale: every span/log/point row otherwise carries ~0.5 KB
+    of duplicated resource/scope JSON through the cache and every
+    downstream scan; after this projection facts carry two 8-byte ids
+    (D5 enrichment, database/traces.go:34,62,79) and the full strings
+    survive only on the (rare) dimension-touch rows that need them.
+    Dense mode keeps the strings — its broadcast-join lookup needs the
+    natural keys on facts."""
+    needs_ids = F.col("rec_kind").isin("metric_def", *FACT_KINDS)
+    rid = resource_id_expr(F.col("res_attributes"), F.col("res_schema_url"))
+    sid = scope_id_expr(
+        F.col("scope_name"), F.col("scope_version"),
+        F.col("scope_attributes"), F.col("scope_schema_url"),
+    )
+    out = records.withColumn(
+        "resource_id", F.when(needs_ids, rid)
+    ).withColumn(
+        "scope_id", F.when(needs_ids, sid)
+    ).withColumn(
+        "metric_id",
+        F.when(
+            F.col("rec_kind") == "point",
+            metric_id_expr(
+                F.col("metric_name"), F.col("metric_type"),
+                F.col("resource_id"), F.col("scope_id"),
+            ),
+        ),
+    )
+    if mode != "hash":
+        return out
+    keep = F.col("rec_kind").isin("resource", "scope", "metric_def")
+    for c in (*RESOURCE_NK, *SCOPE_NK):
+        out = out.withColumn(c, F.when(keep, F.col(c)))
+    return out
 
 
 def attach_dim_ids(

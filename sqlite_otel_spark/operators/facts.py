@@ -63,10 +63,18 @@ def _kind(records: DataFrame, kind: str, cols: list[str]) -> DataFrame:
     return records.filter(F.col("rec_kind") == kind).select(*LINEAGE, *cols)
 
 
+def _ids_resolved(records: DataFrame, mode: str) -> bool:
+    """True when enrich_record_ids already put resource_id/scope_id on the
+    stream (the hash-mode fast path: facts are a pure filter+project)."""
+    return mode == "hash" and "resource_id" in records.columns
+
+
 def build_spans(records: DataFrame, resources, scopes, mode: str = "hash") -> DataFrame:
     """spans sink (db.go:79-98). Cross-turn PK conflicts must already be
     resolved (operators/conflicts.py); within-turn duplicates were
     rejected at parse."""
+    if _ids_resolved(records, mode):
+        return _kind(records, "span", SPAN_COLS)
     return attach_dim_ids(
         _kind(records, "span", SPAN_SRC), resources, scopes, mode
     ).select(*LINEAGE, *SPAN_COLS)
@@ -75,6 +83,8 @@ def build_spans(records: DataFrame, resources, scopes, mode: str = "hash") -> Da
 def build_log_records(records: DataFrame, resources, scopes, mode: str = "hash") -> DataFrame:
     """log_records sink (db.go:128-143); resource_id=0 rows have a null
     resource natural key (logs.go:29-35)."""
+    if _ids_resolved(records, mode):
+        return _kind(records, "log", LOG_COLS)
     return attach_dim_ids(
         _kind(records, "log", LOG_SRC), resources, scopes, mode
     ).select(*LINEAGE, *LOG_COLS)
@@ -85,6 +95,11 @@ def build_points(
 ) -> DataFrame:
     """metric_data_points sink (db.go:114-125): FK to the metrics dim via
     its 4-part natural key (name, metric_type, resource_id, scope_id)."""
+    if _ids_resolved(records, mode):
+        return _kind(
+            records, "point",
+            [*POINT_COLS, "metric_name", "metric_type", "resource_id", "scope_id"],
+        )
     pts = attach_dim_ids(_kind(records, "point", POINT_SRC), resources, scopes, mode)
     if mode == "hash":
         pts = pts.withColumn(

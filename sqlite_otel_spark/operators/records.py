@@ -6,7 +6,7 @@ project P5-P7 -> per-turn tx rollback, handlers/handler_common.go:15-45 +
 database/*.go) and emits ONE ROW PER RECORD with a ``rec_kind``
 discriminator instead of one nested struct per turn.
 
-Why this shape (scale rationale, measured at 200k turns / local[32]):
+Why this shape (scale rationale, measured at 200k-1M turns / local[32]):
 
  - all output columns are scalars -> the Arrow->JVM row conversion is
    vectorizable, ~6x cheaper than ArrayType(StructType) columns;
@@ -17,43 +17,66 @@ Why this shape (scale rationale, measured at 200k turns / local[32]):
  - the record stream is the natural checkpoint artifact: committed
    staging partitions ARE the resume lineage.
 
-The per-turn semantics live in ``functions.parse.turn_records`` (pure,
-unit-testable); this module only owns the Spark plumbing.
+Emission is columnar per kind: each input batch accumulates per-kind
+column lists and yields one pandas frame per kind, so a record touches
+only its own columns (a span fills 24, not 43) and the absent columns
+materialize as O(1)-ish numpy None fills. Long columns never pass
+through float64 (NaN coercion would silently round int64 nanosecond
+timestamps beyond 2^53 — SURVEY §2.3 P8 stores raw int64 nanos), hence
+object dtype end-to-end.
+
+The per-turn semantics live in ``functions.parse`` (pure, unit-
+testable); this module only owns the Spark plumbing.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import DoubleType, TimestampType
 
-from sqlite_otel_spark.functions.parse import RECORD_COLS, RECORDS_SCHEMA, turn_records
+from sqlite_otel_spark.functions.parse import (
+    LOG_FIELDS,
+    METRIC_DEF_FIELDS,
+    POINT_FIELDS,
+    RECORD_COLS,
+    RECORDS_SCHEMA,
+    RESOURCE_KEY_FIELDS,
+    SCOPE_KEY_FIELDS,
+    SPAN_FIELDS,
+    parse_turn,
+)
 
-# Column -> pandas dtype for exact Arrow conversion. Everything is
-# ``object`` except genuine floats: long columns MUST NOT pass through
-# float64 (NaN coercion would silently round nanosecond timestamps
-# beyond 2^53 — SURVEY §2.3 P8 stores raw int64 nanos).
-_PD_DTYPE = {
-    f.name: ("float64" if isinstance(f.dataType, DoubleType) else "object")
-    for f in RECORDS_SCHEMA.fields
+_INPUT_COLS = ("conv_id", "turn_idx", "role", "tool", "ts_us", "text")
+_LINEAGE = ["conv_id", "turn_idx", "role", "tool", "ts_us"]
+
+# kind -> (parse_turn output key, record-specific columns)
+_KIND_FIELDS = {
+    "resource": ("resources", [n for n, _ in RESOURCE_KEY_FIELDS]),
+    "scope": ("scopes", [n for n, _ in SCOPE_KEY_FIELDS]),
+    "metric_def": ("metric_defs", [n for n, _ in METRIC_DEF_FIELDS]),
+    "span": ("spans", [n for n, _ in SPAN_FIELDS]),
+    "log": ("logs", [n for n, _ in LOG_FIELDS]),
+    "point": ("points", [n for n, _ in POINT_FIELDS]),
 }
-_TS_COLS = [f.name for f in RECORDS_SCHEMA.fields if isinstance(f.dataType, TimestampType)]
-
-_INPUT_COLS = ("conv_id", "turn_idx", "role", "tool", "ts", "text")
+_TURN_COLS = ["signal_type", "error", "text"]
 
 
-def _records_frame(rows: list[dict]) -> pd.DataFrame:
-    data = {c: [] for c in RECORD_COLS}
-    for rec in rows:
-        get = rec.get
-        for c in RECORD_COLS:
-            data[c].append(get(c))
+def _frame(kind: str, cols: dict[str, list]) -> pd.DataFrame:
+    """Assemble a full-width RECORDS_SCHEMA pandas frame for one kind;
+    columns the kind doesn't produce are null-filled."""
+    n = len(cols["conv_id"])
+    none_fill = None
     out = {}
     for c in RECORD_COLS:
-        if c in _TS_COLS:
-            out[c] = pd.Series(pd.to_datetime(data[c]), dtype="datetime64[us]")
+        if c == "rec_kind":
+            out[c] = pd.Series(np.full(n, kind, dtype=object))
+        elif c in cols:
+            out[c] = pd.Series(cols[c], dtype=object)
         else:
-            out[c] = pd.Series(data[c], dtype=_PD_DTYPE[c])
+            if none_fill is None:
+                none_fill = pd.Series(np.full(n, None, dtype=object))
+            out[c] = none_fill
     return pd.DataFrame(out)
 
 
@@ -65,16 +88,57 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024) -> DataFra
 
     def gen(batches):
         for pdf in batches:
-            rows: list[dict] = []
-            for conv, ti, role, tool, ts, text in zip(
-                *(pdf[c] for c in _INPUT_COLS)
-            ):
-                rows.extend(
-                    turn_records(conv, ti, role, tool, ts, text, max_text_bytes)
-                )
-            yield _records_frame(rows)
+            acc: dict[str, dict[str, list]] = {
+                "turn": {c: [] for c in (*_LINEAGE, *_TURN_COLS)},
+                **{
+                    k: {c: [] for c in (*_LINEAGE, *fields)}
+                    for k, (_, fields) in _KIND_FIELDS.items()
+                },
+            }
+            turn = acc["turn"]
+            inputs = [pdf[c].tolist() for c in _INPUT_COLS]
+            for conv, ti, role, tool, ts, text in zip(*inputs):
+                p = parse_turn(text, max_text_bytes)
+                turn["conv_id"].append(conv)
+                turn["turn_idx"].append(ti)
+                turn["role"].append(role)
+                turn["tool"].append(tool)
+                turn["ts_us"].append(ts)
+                turn["signal_type"].append(p["signal_type"])
+                turn["error"].append(p["error"])
+                turn["text"].append(text)
+                for kind, (plural, fields) in _KIND_FIELDS.items():
+                    recs = p[plural]
+                    if not recs:
+                        continue
+                    a = acc[kind]
+                    for r in recs:
+                        a["conv_id"].append(conv)
+                        a["turn_idx"].append(ti)
+                        a["role"].append(role)
+                        a["tool"].append(tool)
+                        a["ts_us"].append(ts)
+                        for c in fields:
+                            a[c].append(r[c])
+            for kind, cols in acc.items():
+                if cols["conv_id"]:
+                    yield _frame(kind, cols)
 
-    return df.select(*_INPUT_COLS).mapInPandas(gen, RECORDS_SCHEMA)
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        "conv_id", "turn_idx", "role", "tool",
+        # cast tolerates TIMESTAMP_NTZ parquet inputs (session tz is UTC,
+        # so the wall-clock value is unchanged)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "text",
+    )
+    out = src.mapInPandas(gen, RECORDS_SCHEMA)
+    # JVM-side restoration/derivation (cheap codegen projections, kept out
+    # of the Python hot loop): ts from microseconds, n_bytes from text.
+    return out.withColumn("ts", F.timestamp_micros("ts_us")).withColumn(
+        "n_bytes",
+        F.when(F.col("rec_kind") == "turn", F.octet_length("text")),
+    ).drop("ts_us")
 
 
 def of_kind(records: DataFrame, kind: str) -> DataFrame:

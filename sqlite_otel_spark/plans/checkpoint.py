@@ -46,7 +46,7 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 from sqlite_otel_spark.config import PipelineConfig
 from sqlite_otel_spark.functions.parse import extract_span_keys, parse_turn
 from sqlite_otel_spark.operators import facts as facts_ops
-from sqlite_otel_spark.operators.dims import METRIC_DEF_SRC
+from sqlite_otel_spark.operators.dims import METRIC_DEF_SRC, enrich_record_ids
 from sqlite_otel_spark.operators.records import to_records
 
 _KEYS_SCHEMA = ArrayType(
@@ -135,7 +135,9 @@ def _process_bucket(
     bucket: int,
     cfg: PipelineConfig,
 ) -> dict:
-    records = to_records(bucket_df, cfg.max_text_bytes).persist()
+    records = enrich_record_ids(
+        to_records(bucket_df, cfg.max_text_bytes), "hash"
+    ).persist()
     try:
         rejects = facts_ops.build_rejects(records)
         valid = records

@@ -42,7 +42,12 @@ from sqlite_otel_spark.config import PipelineConfig
 from sqlite_otel_spark.operators import aggregates as agg
 from sqlite_otel_spark.operators import facts as facts_ops
 from sqlite_otel_spark.operators.conflicts import drop_conflicted, resolve_span_conflicts
-from sqlite_otel_spark.operators.dims import build_metric_defs, build_resources, build_scopes
+from sqlite_otel_spark.operators.dims import (
+    build_metric_defs,
+    build_resources,
+    build_scopes,
+    enrich_record_ids,
+)
 from sqlite_otel_spark.operators.enrich import enrich, role_dim, tool_dim
 from sqlite_otel_spark.operators.records import to_records
 
@@ -99,10 +104,12 @@ def run_pipeline(
 
     src = salted_repartition(transcripts, cfg, repartition_to) if do_salt else transcripts
 
-    records_all = to_records(src, cfg.max_text_bytes)
+    records_all = enrich_record_ids(to_records(src, cfg.max_text_bytes), mode)
     # One materialization shared by the reject sink, the conflict pass and
     # the 3-way fan-out (R1): without it every sink would re-run the UDF.
-    # The flat schema means each downstream scan prunes to its own columns.
+    # The flat schema means each downstream scan prunes to its own columns;
+    # enrich_record_ids already swapped the fat dim-key strings on fact
+    # rows for 8-byte surrogate ids before anything lands in the cache.
     records_all = records_all.persist(StorageLevel.MEMORY_AND_DISK)
 
     rejects_local = facts_ops.build_rejects(records_all)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from sqlite_otel_spark.config import PipelineConfig
 from sqlite_otel_spark.operators import facts as facts_ops
 from sqlite_otel_spark.operators.conflicts import drop_conflicted, resolve_span_conflicts
-from sqlite_otel_spark.operators.dims import METRIC_DEF_SRC
+from sqlite_otel_spark.operators.dims import METRIC_DEF_SRC, enrich_record_ids
 from sqlite_otel_spark.operators.records import to_records
 
 TRANSCRIPT_DDL = (
@@ -52,7 +52,9 @@ def process_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int, out_dir: str,
     cfg: PipelineConfig,
 ) -> None:
-    records = to_records(batch_df, cfg.max_text_bytes).persist()
+    records = enrich_record_ids(
+        to_records(batch_df, cfg.max_text_bytes), "hash"
+    ).persist()
     try:
         rejects = facts_ops.build_rejects(records)
         valid = records
