@@ -26,6 +26,14 @@ class PipelineConfig:
     #              dimensions are small by construction.
     surrogate_id_mode: str = "hash"
 
+    # Keep the raw transcript text on routed/turn records. The reference
+    # collector never persists raw request bodies (it stores only parsed
+    # records, handlers/handler_common.go:33-45); text retention is a
+    # graft convenience for the per-turn text-equality surface. False
+    # drops text right after parse — at 3M turns that removes ~2.7 GB of
+    # Arrow transfer + cache traffic per run (the single largest column).
+    emit_text: bool = True
+
     # Salted repartition of hot conversations (north_rule; SURVEY §4.2.1).
     salt_buckets: int = 8
     # Number of shuffle partitions hint; None -> leave session default.

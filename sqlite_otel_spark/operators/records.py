@@ -62,13 +62,13 @@ _KIND_FIELDS = {
 _TURN_COLS = ["signal_type", "error", "text"]
 
 
-def _frame(kind: str, cols: dict[str, list]) -> pd.DataFrame:
-    """Assemble a full-width RECORDS_SCHEMA pandas frame for one kind;
-    columns the kind doesn't produce are null-filled."""
+def _frame(kind: str, cols: dict[str, list], out_cols: list[str]) -> pd.DataFrame:
+    """Assemble a full-width output pandas frame for one kind; columns
+    the kind doesn't produce are null-filled."""
     n = len(cols["conv_id"])
     none_fill = None
     out = {}
-    for c in RECORD_COLS:
+    for c in out_cols:
         if c == "rec_kind":
             out[c] = pd.Series(np.full(n, kind, dtype=object))
         elif c in cols:
@@ -80,16 +80,24 @@ def _frame(kind: str, cols: dict[str, list]) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024) -> DataFrame:
+def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
+               emit_text: bool = True) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> records
     DataFrame in RECORDS_SCHEMA. Narrow (no shuffle): each input split
     parses independently, exactly like the reference's
-    goroutine-per-request independence (main.go:154-160)."""
+    goroutine-per-request independence (main.go:154-160).
+
+    ``emit_text=False`` drops the raw text after parsing (the reference
+    never persists request bodies); the ``text`` column is then null and
+    n_bytes is computed in Python before the drop."""
+
+    out_cols = RECORD_COLS if emit_text else [*RECORD_COLS, "n_bytes"]
 
     def gen(batches):
         for pdf in batches:
+            turn_cols = _TURN_COLS if emit_text else (*_TURN_COLS, "n_bytes")
             acc: dict[str, dict[str, list]] = {
-                "turn": {c: [] for c in (*_LINEAGE, *_TURN_COLS)},
+                "turn": {c: [] for c in (*_LINEAGE, *turn_cols)},
                 **{
                     k: {c: [] for c in (*_LINEAGE, *fields)}
                     for k, (_, fields) in _KIND_FIELDS.items()
@@ -106,7 +114,12 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024) -> DataFra
                 turn["ts_us"].append(ts)
                 turn["signal_type"].append(p["signal_type"])
                 turn["error"].append(p["error"])
-                turn["text"].append(text)
+                turn["text"].append(text if emit_text else None)
+                if not emit_text:
+                    turn["n_bytes"].append(
+                        None if text is None
+                        else len(text.encode("utf-8", errors="surrogatepass"))
+                    )
                 for kind, (plural, fields) in _KIND_FIELDS.items():
                     recs = p[plural]
                     if not recs:
@@ -122,7 +135,7 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024) -> DataFra
                             a[c].append(r[c])
             for kind, cols in acc.items():
                 if cols["conv_id"]:
-                    yield _frame(kind, cols)
+                    yield _frame(kind, cols, out_cols)
 
     from pyspark.sql import functions as F
 
@@ -132,13 +145,20 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024) -> DataFra
         # so the wall-clock value is unchanged)
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "text",
     )
-    out = src.mapInPandas(gen, RECORDS_SCHEMA)
+    schema = RECORDS_SCHEMA
+    if not emit_text:
+        from pyspark.sql.types import LongType, StructField, StructType
+        schema = StructType(schema.fields + [StructField("n_bytes", LongType(), True)])
+    out = src.mapInPandas(gen, schema)
     # JVM-side restoration/derivation (cheap codegen projections, kept out
     # of the Python hot loop): ts from microseconds, n_bytes from text.
-    return out.withColumn("ts", F.timestamp_micros("ts_us")).withColumn(
-        "n_bytes",
-        F.when(F.col("rec_kind") == "turn", F.octet_length("text")),
-    ).drop("ts_us")
+    out = out.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+    if emit_text:
+        out = out.withColumn(
+            "n_bytes",
+            F.when(F.col("rec_kind") == "turn", F.octet_length("text")),
+        )
+    return out
 
 
 def of_kind(records: DataFrame, kind: str) -> DataFrame:

@@ -104,7 +104,9 @@ def run_pipeline(
 
     src = salted_repartition(transcripts, cfg, repartition_to) if do_salt else transcripts
 
-    records_all = enrich_record_ids(to_records(src, cfg.max_text_bytes), mode)
+    records_all = enrich_record_ids(
+        to_records(src, cfg.max_text_bytes, emit_text=cfg.emit_text), mode
+    )
     # One materialization shared by the reject sink, the conflict pass and
     # the 3-way fan-out (R1): without it every sink would re-run the UDF.
     # The flat schema means each downstream scan prunes to its own columns;

@@ -191,3 +191,26 @@ def test_cascade_resolution(pipeline_and_oracle):
         .filter("trace_id = '" + "ab" * 16 + "'").collect()
     }
     assert names == {"X", "Y-late"}
+
+
+def test_emit_text_off_preserves_counts(spark):
+    """cfg.emit_text=False (the reference's own never-persist-bodies
+    behavior) must not change any sink/accounting result — only the raw
+    text column on routed/turn rows goes null; n_bytes survives via the
+    Python-side byte count."""
+    rows = _rows()
+    cfg_on = PipelineConfig(max_text_bytes=MAX_BYTES)
+    cfg_off = PipelineConfig(max_text_bytes=MAX_BYTES, emit_text=False)
+    r_on = run_pipeline(spark, transcripts_df(spark, rows), cfg_on)
+    r_off = run_pipeline(spark, transcripts_df(spark, rows), cfg_off)
+    try:
+        assert {n: d.count() for n, d in r_on.sinks.items()} == {
+            n: d.count() for n, d in r_off.sinks.items()
+        }
+        acc_on = {tuple(r) for r in r_on.accounting.collect()}
+        acc_off = {tuple(r) for r in r_off.accounting.collect()}
+        assert acc_on == acc_off  # includes accepted_bytes (n_bytes path)
+        assert r_off.routed.filter("text is not null").count() == 0
+    finally:
+        r_on.unpersist()
+        r_off.unpersist()
