@@ -10,8 +10,11 @@ Note on inputs: BASELINE.json's input_hint mandates a transcripts table
 (conv_id, turn_idx, role, text, tool, ts) which does not exist in
 /root/testdata — it is synthesized deterministically (fixtures.py,
 seed=42) per the driver brief; pipeline queries therefore use golden
-oracles computed by the sequential reference-semantics oracle, while all
-shared-table queries use live DuckDB SQL oracles.
+VALUES oracles computed by the sequential reference-semantics oracle,
+while all shared-table queries use live DuckDB SQL oracles (the LSH
+family via the cross-engine md5hash60 so MinHash/SimHash/hyperplane
+bucketing reproduce in DuckDB). Every one of the 37 entries has a full
+value-hash oracle — no rows-only checks.
 """
 
 from __future__ import annotations

@@ -83,24 +83,48 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.6,
     )
 
 
-def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
+def md5hash60(col, salt: int | None = None):
+    """Deterministic 60-bit hash computable IDENTICALLY in Spark and
+    DuckDB (both have md5 + hex->int): the cross-engine-verifiable hash
+    for the driver's DuckDB oracle gate. Spark:
+    conv(substr(md5(x),1,15),16,10); DuckDB:
+    CAST('0x' || substr(md5(x),1,15) AS BIGINT). ~3x slower than
+    xxhash64 — the xxhash64 variants remain the scale default."""
+    src = F.concat(col, F.lit(f"#{salt}")) if salt is not None else col
+    return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 64,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """P permutation minima as agg columns over one shuffle:
-    h_i(doc) = min over shingles of xxhash64(shingle, i)."""
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    h_i(doc) = min over shingles of hash(shingle, i)."""
+    if hash_fn == "md5":
+        aggs = [
+            F.min(md5hash60(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+def minhash_lsh_candidates(sig: DataFrame, bands: int = 16, rows: int = 4,
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """Band the signature (bands x rows = num_perm) and join docs whose
-    band hashes collide -> candidate near-dup pairs (doc_a < doc_b)."""
+    band keys collide -> candidate near-dup pairs (doc_a < doc_b). The
+    md5 mode uses the raw '_'-joined member hashes as the band key
+    (equality is all banding needs; string keys reproduce in SQL)."""
+    def band_key(b):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        if hash_fn == "md5":
+            return F.concat_ws("_", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), band_key(b).cast("string").alias("bh"))
         for b in range(bands)
     ])
     banded = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
@@ -116,38 +140,48 @@ def minhash_lsh_candidates(sig: DataFrame, bands: int = 16, rows: int = 4) -> Da
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over tokens: bit j of the fingerprint is the sign of
-    sum over tokens of (+1 if bit j of xxhash64(token) else -1)."""
-    toks = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(tokens_col(F.col(text_col))).alias("tok"))
-        .withColumn("th", F.xxhash64("tok"))
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """n_bits SimHash over tokens (bag semantics): bit j of the
+    fingerprint is the sign of sum over tokens of (+1 if bit j of
+    hash(token) else -1). hash_fn='md5' gives the 60-bit cross-engine
+    variant (md5hash60 reproduces in DuckDB for the oracle gate)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
+    if hash_fn == "md5":
+        toks = toks.withColumn("th", md5hash60(F.col("tok")))
+    else:
+        toks = toks.withColumn("th", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_sums)
     fp = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(n_bits):
         fp = fp.bitwiseOR(
             F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
         )
     return sums.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_dups(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(fp: DataFrame, max_hamming: int = 3,
+                      n_bits: int = 64) -> DataFrame:
     """Near-dup pairs by SimHash: candidate generation via equality on one
-    of four 16-bit bands (any pair within Hamming<=3 of 64 bits must agree
-    on >=1 band by pigeonhole... with 4 bands and 3 flipped bits), then
-    exact Hamming verification with bit_count(xor)."""
+    of four (n_bits/4)-bit bands (any pair within Hamming<=3 must agree
+    on >=1 band by pigeonhole), then exact Hamming verification with
+    bit_count(xor)."""
+    band_bits = n_bits // 4
+    band_mask = (1 << band_bits) - 1
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(band_mask)).alias("bh"),
         )
         for b in range(4)
     ])

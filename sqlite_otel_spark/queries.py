@@ -7,10 +7,10 @@ and routes through the engine's operator modules (not re-typed SQL), and
 parquet views that must match row-for-row (columns aliased identically,
 doubles rounded identically, sums cast identically).
 
-Entries with oracle=None are non-SQL-expressible (hash-seeded LSH /
-MinHash / SimHash, full pipeline runs); the driver records a rows-only
-check and pytest covers them against independent Python implementations
-or the sequential oracle.
+Every entry carries a full value-hash oracle: live DuckDB SQL for the
+shared-table queries (LSH family via the cross-engine md5hash60 hash),
+golden VALUES from the sequential reference-semantics oracle for the
+pipeline queries (regenerate with scripts/regen_goldens.py).
 
 Pipeline entries run the REAL transcript pipeline on the deterministic
 fixture (n=2000, seed=42 — scale-independent) and compare against golden
@@ -278,11 +278,34 @@ def pipeline_time_rollup(spark, sf_dir):
     return _pipeline(spark).by_time_bucket
 
 
-@q("pipeline_spans_sample")
+SPANS_SAMPLE_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "ts",
+    "trace_id", "span_id", "trace_state", "parent_span_id", "name", "kind",
+    "start_time_unix_nano", "end_time_unix_nano", "attributes", "events",
+    "links", "status_code", "status_message",
+]
+
+
+def _spans_sample_sql():
+    from sqlite_otel_spark.goldens import SPANS_SAMPLE_SQL
+    return SPANS_SAMPLE_SQL
+
+
+@q("pipeline_spans_sample", None)
 def pipeline_spans_sample(spark, sf_dir):
-    """Routed spans sink sample (rows-only; exact per-record equality is
-    asserted in pytest against the sequential oracle)."""
-    return _pipeline(spark).sinks["spans"].orderBy("trace_id", "span_id").limit(100)
+    """Spans sink sample: first 100 rows by (trace_id, span_id), natural
+    columns + lineage (surrogate ids excluded — they are engine-hash
+    values; per-record id consistency is covered by the dims tests).
+    Golden VALUES generated from the sequential oracle
+    (sqlite_otel_spark/goldens.py, scripts/regen_goldens.py)."""
+    return (
+        _pipeline(spark).sinks["spans"]
+        .orderBy("trace_id", "span_id").limit(100)
+        .select(*SPANS_SAMPLE_COLS)
+    )
+
+
+ORACLES["pipeline_spans_sample"] = _spans_sample_sql()
 
 
 # ===========================================================================
@@ -891,23 +914,190 @@ def dp_ngram_jaccard(spark, sf_dir):
     return dd.jaccard_pairs(sh, threshold=0.6).orderBy("doc_a", "doc_b")
 
 
-@q("dp_minhash_lsh")
+
+# ---------------------------------------------------------------------------
+# Generated cross-engine SQL for the hash-seeded LSH queries: md5hash60
+# (conv(substr(md5(x),1,15),16,10)) is computable in BOTH engines, so
+# MinHash/SimHash/hyperplane-LSH become fully DuckDB-verifiable. The
+# xxhash64 variants in datapipe/ remain the scale defaults.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             )) AS shingle
+      FROM toks
+    )"""
+
+
+def _md5num(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _minhash_lsh_sql(num_perm: int = 64, bands: int = 16, rows: int = 4,
+                     threshold: float = 0.6) -> str:
+    mins = ",\n             ".join(
+        "min({h}) AS h{i}".format(h=_md5num("shingle || '#%d'" % i), i=i)
+        for i in range(num_perm)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, p.inter, sa.n AS na, sb.n AS nb,
+           round(p.inter / (sa.n + sb.n - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE round(p.inter / (sa.n + sb.n - p.inter), 4) >= {threshold}
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+def _simhash_sql(n_bits: int = 60, max_hamming: int = 3) -> str:
+    band_bits = n_bits // 4
+    mask = (1 << band_bits) - 1
+    bsums = ",\n             ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS bh FROM fp"
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {_md5num('tok')} AS th FROM toks),
+    sums AS (
+      SELECT doc_id, {bsums}
+      FROM th GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM sums),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _ann_lsh_sql(dim: int = 64, k: int = 10, n_planes: int = 12,
+                 bands: int = 4) -> str:
+    from sqlite_otel_spark.datapipe.similarity import hyperplane
+
+    r_bits = n_planes // bands
+    mask = (1 << r_bits) - 1
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], [{plane}]) > 0 "
+        "THEN {w} ELSE 0 END)".format(
+            plane=", ".join(repr(c) for c in hyperplane(dim, p)), w=1 << p
+        )
+        for p in range(n_planes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * r_bits}) & {mask} AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, {sig_terms} AS sig FROM embeddings
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM banded q JOIN banded n
+        ON q.band = n.band AND q.bh = n.bh AND q.vec_id <> n.vec_id
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                          ne.embedding::DOUBLE[]), 4) AS cosine
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@q("dp_minhash_lsh", _minhash_lsh_sql())
 def dp_minhash_lsh(spark, sf_dir):
-    """MinHash(64)+LSH(16x4) candidates verified by exact Jaccard.
-    No SQL oracle (xxhash64-seeded); pytest checks recall vs the exact
-    pair set."""
+    """MinHash(64)+LSH(16x4) candidates verified by exact Jaccard, using
+    the cross-engine md5hash60 so the FULL MinHash+LSH computation is
+    reproduced by the DuckDB oracle (pytest additionally checks recall
+    of the xxhash64 scale variant)."""
     docs = _t(spark, sf_dir, "documents")
     sh = dd.shingles(docs, n=3)
-    cand = dd.minhash_lsh_candidates(dd.minhash_signatures(sh, 64), bands=16, rows=4)
+    cand = dd.minhash_lsh_candidates(
+        dd.minhash_signatures(sh, 64, hash_fn="md5"), bands=16, rows=4,
+        hash_fn="md5",
+    )
     return dd.jaccard_pairs(sh, threshold=0.6, candidates=cand).orderBy("doc_a", "doc_b")
 
 
-@q("dp_simhash_neardup")
+@q("dp_simhash_neardup", _simhash_sql())
 def dp_simhash_neardup(spark, sf_dir):
-    """SimHash64 near-dups (Hamming <= 3). No SQL oracle (xxhash64);
-    pytest verifies against an independent Python SimHash."""
+    """SimHash near-dups (Hamming <= 3) in the 60-bit md5hash60 variant:
+    the whole bit-vote fingerprint + banding + Hamming verify is
+    reproduced by the DuckDB oracle (pytest additionally covers the
+    64-bit xxhash64 scale variant against an independent Python
+    SimHash)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_near_dups(dd.simhash(docs), max_hamming=3).orderBy("doc_a", "doc_b")
+    fp = dd.simhash(docs, n_bits=60, hash_fn="md5")
+    return dd.simhash_near_dups(fp, max_hamming=3, n_bits=60).orderBy("doc_a", "doc_b")
 
 
 @q(
@@ -962,10 +1152,13 @@ def dp_ann_brute_topk(spark, sf_dir):
     return sim.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
-@q("dp_ann_lsh_topk")
+@q("dp_ann_lsh_topk", _ann_lsh_sql())
 def dp_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (the scale path). No SQL oracle
-    (seeded hyperplanes); pytest measures recall vs brute force."""
+    """LSH-bucketed approximate top-k (the scale path). The seeded
+    hyperplanes are pure functions of (plane, dim), so the DuckDB oracle
+    embeds the identical plane literals and reproduces the bucketing +
+    rerank end-to-end; pytest additionally measures recall vs brute
+    force."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.lsh_topk(emb, queries, dim=64, k=10).orderBy("query_id", "rank")
