@@ -135,7 +135,7 @@ def time_queries(spark) -> dict[str, float]:
         "q1_lineitem_rollup", "q3_top_revenue_orders", "q5_region_nation_rollup",
         "a3_time_bucket_counts", "a5_retention_topk", "d5_broadcast_enrichment",
         "w1_window_rank_orders", "dp_ngram_jaccard", "dp_minhash_lsh",
-        "dp_simhash_neardup", "dp_ann_brute_topk", "dp_ann_lsh_topk",
+        "dp_simhash_neardup", "dp_ann_brute_topk", "dp_ann_lsh_topk", "dp_ann_ivf_topk",
         "dp_fingerprint", "dp_token_count", "dp_multimodal_features",
     ]
     out = {}

@@ -90,6 +90,67 @@ def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return sig
 
 
+def ivf_centroid(dim: int, c: int) -> list[float]:
+    """Deterministic codebook direction for IVF cell ``c`` (offset keeps
+    the family disjoint from the LSH hyperplanes)."""
+    return hyperplane(dim, 4096 + c)
+
+
+def ivf_cells_col(vec: Column, dim: int, k_cells: int, nprobe: int) -> Column:
+    """Top-``nprobe`` IVF cells of a vector: the codebook directions with
+    the largest dot products. Lexicographic sort on (-dot, cell) makes
+    the ranking identical across engines."""
+    scored = F.array(*[
+        F.struct(
+            (-sum(
+                (F.element_at(vec, j + 1).cast("double") * F.lit(comp[j])
+                 for j in range(dim)),
+                F.lit(0.0),
+            )).alias("negdot"),
+            F.lit(c).alias("cell"),
+        )
+        for c, comp in ((c, ivf_centroid(dim, c)) for c in range(k_cells))
+    ])
+    return F.transform(
+        F.slice(F.sort_array(scored), 1, nprobe), lambda s: s["cell"]
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    k_cells: int = 8, nprobe: int = 2, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors live in their single best cell
+    (coarse quantization by a deterministic random codebook — at real
+    scale you'd train k-means centroids and broadcast them, the plan
+    shape is identical); queries probe their ``nprobe`` best cells, so
+    candidate generation is an equi-join on cell id instead of the cross
+    product, then exact cosine rerank."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
+        F.element_at(ivf_cells_col(F.col(vec_col), dim, k_cells, 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(ivf_cells_col(F.col(vec_col), dim, k_cells, nprobe)).alias("cell"),
+    )
+    cand = (
+        q.join(v, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     n_planes: int = 12, bands: int = 4, id_col: str = "vec_id",

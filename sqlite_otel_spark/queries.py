@@ -1152,6 +1152,49 @@ def dp_ann_brute_topk(spark, sf_dir):
     return sim.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
+def _ann_ivf_sql(dim: int = 64, k: int = 10, k_cells: int = 8,
+                 nprobe: int = 2) -> str:
+    from sqlite_otel_spark.datapipe.similarity import ivf_centroid
+
+    packs = ",\n        ".join(
+        "struct_pack(negdot := -list_dot_product(embedding::DOUBLE[], [{c}]), cell := {i})".format(
+            c=", ".join(repr(x) for x in ivf_centroid(dim, i)), i=i
+        )
+        for i in range(k_cells)
+    )
+    return f"""
+    WITH scored AS (
+      SELECT vec_id, list_sort([
+        {packs}
+      ]) AS cells FROM embeddings
+    ),
+    vcell AS (SELECT vec_id AS neighbor_id, cells[1].cell AS cell FROM scored),
+    qcells AS (
+      SELECT vec_id AS query_id,
+             unnest(list_transform(cells[1:{nprobe}], s -> s.cell)) AS cell
+      FROM scored WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM qcells q JOIN vcell v USING (cell)
+      WHERE query_id <> neighbor_id
+    ),
+    reranked AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                          ne.embedding::DOUBLE[]), 4) AS cosine
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM reranked
+    ) WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 @q("dp_ann_lsh_topk", _ann_lsh_sql())
 def dp_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (the scale path). The seeded
@@ -1162,6 +1205,19 @@ def dp_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.lsh_topk(emb, queries, dim=64, k=10).orderBy("query_id", "rank")
+
+
+@q("dp_ann_ivf_topk", _ann_ivf_sql())
+def dp_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: deterministic random-codebook coarse
+    quantization (8 cells, nprobe=2) + exact cosine rerank — the
+    second scale path alongside LSH (brief: 'an IVF or LSH-bucketed
+    variant'). The DuckDB oracle embeds the identical codebook literals
+    and reproduces cell assignment + probing + rerank; pytest measures
+    recall vs brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries, dim=64, k=10).orderBy("query_id", "rank")
 
 
 @q(
