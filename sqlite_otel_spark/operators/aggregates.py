@@ -54,6 +54,29 @@ def counts_by_time_bucket(routed: DataFrame, bucket: str = "1 hour") -> DataFram
     )
 
 
+def session_counts(df: DataFrame, key: str, ts_col: str = "ts",
+                   gap: str = "10 minutes",
+                   value_col: str | None = None) -> DataFrame:
+    """A3 (session form): per-key session windows — a new session starts
+    when an event arrives >= gap after the previous one; session_end is
+    last_event + gap (Spark ``session_window`` semantics; in streaming
+    the same expression works under a watermark). SQL-equivalent:
+    gaps-and-islands (lag + running sum of session starts)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
+        .agg(*aggs)
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *[c for c in ("n_events", "sum_value") if value_col or c == "n_events"],
+        )
+    )
+
+
 def retention_top_k(df: DataFrame, key: str, order_col: str, k: int,
                     max_age_days: int | None = None,
                     now_col: str | None = None) -> DataFrame:

@@ -514,6 +514,43 @@ def a3_time_bucket_counts(spark, sf_dir):
 
 
 @q(
+    "a3_session_window_counts",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def a3_session_window_counts(spark, sf_dir):
+    """A3 session form: Spark session_window (the streaming-capable
+    stateful window) vs the SQL gaps-and-islands oracle — a new session
+    opens when an event arrives >= 10 min after the previous one;
+    session_end = last event + gap."""
+    return agg.session_counts(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "10 minutes", "value"
+    ).orderBy("user_id", "session_start")
+
+
+@q(
     "a5_retention_topk",
     """
     SELECT user_id, event_id, rn FROM (
