@@ -809,15 +809,20 @@ def w1_window_rank_orders(spark, sf_dir):
     "dp_dedup_exact",
     """
     SELECT fingerprint, n_docs, doc_ids FROM (
-      SELECT md5(text) AS fingerprint, count(*) AS n_docs,
-             list_sort(list(doc_id)) AS doc_ids
-      FROM documents GROUP BY md5(text)
+      SELECT md5(props) AS fingerprint, count(*) AS n_docs,
+             list_sort(list(event_id)) AS doc_ids
+      FROM events GROUP BY md5(props)
     ) WHERE n_docs > 1 ORDER BY fingerprint
     """,
 )
 def dp_dedup_exact(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return dd.exact_duplicates(docs).orderBy("fingerprint")
+    """Exact dedup (hash groupBy) — run on events.props, which actually
+    contains byte-identical duplicates (documents has only near-dups,
+    planted exact dupes are covered by tests/test_datapipe.py)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"), F.col("props").alias("text")
+    )
+    return dd.exact_duplicates(ev).orderBy("fingerprint")
 
 
 @q(
