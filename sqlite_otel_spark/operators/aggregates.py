@@ -63,8 +63,10 @@ def session_counts(df: DataFrame, key: str, ts_col: str = "ts",
     the same expression works under a watermark). SQL-equivalent:
     gaps-and-islands (lag + running sum of session starts)."""
     aggs = [F.count(F.lit(1)).alias("n_events")]
+    out_cols = ["n_events"]
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        out_cols.append("sum_value")
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
         .agg(*aggs)
@@ -72,7 +74,7 @@ def session_counts(df: DataFrame, key: str, ts_col: str = "ts",
             key,
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
-            *[c for c in ("n_events", "sum_value") if value_col or c == "n_events"],
+            *out_cols,
         )
     )
 

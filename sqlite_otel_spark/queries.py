@@ -52,8 +52,17 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+def _utc(spark: SparkSession) -> SparkSession:
+    """Timestamp semantics (window bucket boundaries, naive-datetime
+    round trips, golden TIMESTAMP literals) assume a UTC session; the
+    driver's session config is not ours to choose, but this key is
+    runtime-settable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _utc(spark).read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # --------------------------------------------------------------------------
@@ -67,7 +76,7 @@ FIXTURE_SEED = 42
 
 
 def fixture_transcripts(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return _utc(spark).createDataFrame(
         make_transcripts(FIXTURE_N, seed=FIXTURE_SEED), schema=TRANSCRIPT_SCHEMA
     )
 
