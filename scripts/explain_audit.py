@@ -138,6 +138,17 @@ def main() -> None:
           note="signatures = one groupBy with P min-agg columns; band join "
                "shuffles on (band, bh) — the candidate-pair key")
 
+    sw = QUERIES["a3_session_window_counts"](spark, SF)
+    audit("a3_session_window_counts", sw,
+          want=["session_window", "HashAggregate"],
+          note="native session_window (streaming-capable stateful window), "
+               "not a window-function islands emulation")
+
+    ivf = QUERIES["dp_ann_ivf_topk"](spark, SF)
+    audit("dp_ann_ivf_topk", ivf, forbid=["CartesianProduct"],
+          note="IVF candidate generation is an equi-join on cell id — the "
+               "cross product never appears in the plan")
+
     ok = sum(1 for _, passed, _ in checks if passed)
     lines = [
         "# PLANS — physical-plan audit (`.explain(\"formatted\")`)",
