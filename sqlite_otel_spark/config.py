@@ -43,8 +43,12 @@ class PipelineConfig:
     retention_top_k: int = 7
     retention_max_age_days: int = 30
 
-    # Checkpoint/lineage (SURVEY §4.2.4): number of resumable input buckets.
+    # Checkpoint/lineage (SURVEY §4.2.4): number of resumable input buckets,
+    # and how many bucket pipelines the driver submits concurrently
+    # (independent sub-DAGs + disjoint output paths; the resume unit is
+    # still one bucket).
     checkpoint_buckets: int = 16
+    max_concurrent_buckets: int = 4
 
     # Cap on driver-side sequential resolution of cross-turn span PK
     # conflicts (SURVEY §7 risk (c)). Conflicting turns are pathological

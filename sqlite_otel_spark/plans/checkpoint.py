@@ -213,40 +213,65 @@ def run_checkpointed(
     committed = read_manifest_buckets(spark, out_dir)
     with_bucket = transcripts.withColumn("bucket", bucket_col(cfg)).persist()
     processed, skipped = [], []
+    todo = []
+    for b in range(cfg.checkpoint_buckets):
+        (skipped if b in committed else todo).append(b)
+
+    def do_bucket(b: int) -> int:
+        bucket_df = with_bucket.filter(F.col("bucket") == b).drop("bucket")
+        counts = _process_bucket(spark, bucket_df, invalid_df, out_dir, b, cfg)
+        _write_manifest_row(spark, out_dir, b, run_id, counts)
+        return b
+
     try:
-        for b in range(cfg.checkpoint_buckets):
-            if b in committed:
-                skipped.append(b)
-                continue
-            if fail_after_buckets is not None and len(processed) >= fail_after_buckets:
-                raise RuntimeError(f"injected failure after {fail_after_buckets} buckets")
-            bucket_df = with_bucket.filter(F.col("bucket") == b).drop("bucket")
-            counts = _process_bucket(spark, bucket_df, invalid_df, out_dir, b, cfg)
-            _append_manifest(spark, out_dir, b, run_id, counts)
-            processed.append(b)
+        if fail_after_buckets is not None:
+            # deterministic sequential path for the kill/resume tests
+            for b in todo:
+                if len(processed) >= fail_after_buckets:
+                    raise RuntimeError(
+                        f"injected failure after {fail_after_buckets} buckets"
+                    )
+                processed.append(do_bucket(b))
+        else:
+            # Buckets are independent (hash surrogate ids need no
+            # coordination; outputs + manifest rows land in disjoint
+            # bucket=N paths), so submit several bucket pipelines
+            # concurrently — Spark's scheduler interleaves their stages
+            # and the commit granularity (resume unit) is unchanged.
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = max(1, cfg.max_concurrent_buckets)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for b in pool.map(do_bucket, todo):
+                    processed.append(b)
     finally:
         with_bucket.unpersist()
     finalize(spark, out_dir, cfg)
     return {"processed": processed, "skipped": skipped}
 
 
-def _append_manifest(spark, out_dir, bucket, run_id, counts) -> None:
+def _write_manifest_row(spark, out_dir, bucket, run_id, counts) -> None:
+    """One manifest row per bucket in its own directory — concurrent
+    bucket commits never share a write path (parquet append into a
+    shared dir would race on the committer's _temporary)."""
     row = [(bucket, run_id, *[counts[t] for t in FACT_TABLES])]
     schema = "bucket int, run_id string, " + ", ".join(f"n_{t} long" for t in FACT_TABLES)
-    spark.createDataFrame(row, schema).coalesce(1).write.mode("append").parquet(
-        f"{out_dir}/_manifest"
+    spark.createDataFrame(row, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/_manifest/bucket_{bucket}"
     )
 
 
 def read_manifest_buckets(spark, out_dir) -> set[int]:
     try:
-        return {r.bucket for r in spark.read.parquet(f"{out_dir}/_manifest").collect()}
+        return {r.bucket for r in read_manifest(spark, out_dir).collect()}
     except Exception:
         return set()
 
 
 def read_manifest(spark, out_dir) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/_manifest")
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{out_dir}/_manifest"
+    )
 
 
 # ---------------------------------------------------------------------------
