@@ -79,6 +79,40 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "resized_w int, resized_h int, resized_bytes bigint"
+)
+
+
+def resize(media: DataFrame, target_w: int = 128, target_h: int = 96) -> DataFrame:
+    """mapInPandas resize: aspect-preserving downscale to fit
+    (target_w, target_h). The pixel kernel is the deterministic stub
+    (a real implementation PIL-resizes the decoded payload); the
+    arithmetic is plain IEEE-double ops so the DuckDB oracle reproduces
+    it exactly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            out = {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"],
+                   "width": [], "height": [], "resized_w": [], "resized_h": [],
+                   "resized_bytes": []}
+            for nb in n:
+                w, h = _stub_decode(nb)
+                scale = min(1.0, target_w / w, target_h / h)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resized_w"].append(max(1, math.floor(w * scale)))
+                out["resized_h"].append(max(1, math.floor(h * scale)))
+                out["resized_bytes"].append(max(1, math.floor(nb * scale * scale)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload every N bytes (the
     real kernel would pull I-frames); shows binary slicing stays native."""

@@ -1290,3 +1290,33 @@ def dp_multimodal_features(spark, sf_dir):
     kernel stubbed deterministically — real codecs absent in sandbox)."""
     docs = _t(spark, sf_dir, "documents")
     return mm.extract_features(mm.to_media(docs)).orderBy("doc_id")
+
+
+@q(
+    "dp_multimodal_resize",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           width, height,
+           greatest(1, CAST(floor(width * s) AS INTEGER)) AS resized_w,
+           greatest(1, CAST(floor(height * s) AS INTEGER)) AS resized_h,
+           greatest(1, CAST(floor(n * s * s) AS BIGINT)) AS resized_bytes
+    FROM (
+      SELECT doc_id, strlen(text) AS n,
+             CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+             CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+             least(1.0, 128.0 / (strlen(text) % 640 + 1),
+                        96.0 / (strlen(text) % 480 + 1)) AS s
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def dp_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize plumbing (mapInPandas; pixel kernel
+    stubbed per brief — the codecs aren't in this container). The stub's
+    arithmetic is single-expression IEEE double math, so the DuckDB
+    oracle reproduces the exact floor/scale results."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.resize(mm.to_media(docs), 128, 96).orderBy("doc_id")

@@ -169,6 +169,14 @@ def test_multimodal_plumbing(spark, docs):
         assert f.media_type == ["image", "audio", "video"][r.doc_id % 3]
     frames = mm.frame_sample(media.filter(F.col("doc_id") == 0))
     assert frames.count() >= 1
+    # resize: fits the box, preserves aspect (within floor rounding),
+    # byte count scales quadratically with the linear factor
+    for r in mm.resize(media, 128, 96).collect():
+        assert 1 <= r.resized_w <= 128 and 1 <= r.resized_h <= 96
+        if r.width <= 128 and r.height <= 96:
+            assert (r.resized_w, r.resized_h) == (r.width, r.height)
+        else:
+            assert (r.resized_w == 128) or (r.resized_h >= 95)
 
 
 def test_exact_duplicates(spark, docs):
