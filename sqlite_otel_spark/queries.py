@@ -788,6 +788,62 @@ def q5_region_nation_rollup(spark, sf_dir):
 
 
 @q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 analogue: pure predicate + aggregate — every filter is a
+    parquet-pushdown-eligible column predicate, no shuffle beyond the
+    final partial/final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q4_priority_semijoin",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_semijoin(spark, sf_dir):
+    """TPC-H Q4 analogue: EXISTS subquery as a left-semi join (the join
+    family the reference lacks, SURVEY §2.4 note), then grouped count."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
     "w1_window_rank_orders",
     """
     SELECT o_custkey, o_orderkey, rn FROM (
