@@ -13,8 +13,8 @@ seed=42) per the driver brief; pipeline queries therefore use golden
 VALUES oracles computed by the sequential reference-semantics oracle,
 while all shared-table queries use live DuckDB SQL oracles (the LSH
 family via the cross-engine md5hash60 so MinHash/SimHash/hyperplane
-bucketing reproduce in DuckDB). Every one of the 38 entries has a full
-value-hash oracle — no rows-only checks.
+bucketing reproduce in DuckDB). Every entry has a full value-hash
+oracle — no rows-only checks.
 """
 
 from __future__ import annotations
