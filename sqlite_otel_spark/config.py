@@ -26,6 +26,15 @@ class PipelineConfig:
     #              dimensions are small by construction.
     surrogate_id_mode: str = "hash"
 
+    # Where the parsed record stream materializes for the sink fan-out:
+    #  - None (default): in-memory columnar cache (MEMORY_AND_DISK) —
+    #    right for micro-batches and the sandbox;
+    #  - a directory path: write the stream ONCE as parquet partitioned
+    #    by rec_kind and read it back — the 100 TB form: no executor-RAM
+    #    dependence, per-sink scans prune to their rec_kind partition,
+    #    and the staging table doubles as a restartable artifact.
+    staging_dir: str | None = None
+
     # Keep the raw transcript text on routed/turn records. The reference
     # collector never persists raw request bodies (it stores only parsed
     # records, handlers/handler_common.go:33-45); text retention is a

@@ -112,7 +112,18 @@ def run_pipeline(
     # The flat schema means each downstream scan prunes to its own columns;
     # enrich_record_ids already swapped the fat dim-key strings on fact
     # rows for 8-byte surrogate ids before anything lands in the cache.
-    records_all = records_all.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted = []
+    if cfg.staging_dir:
+        # 100 TB form: stage the stream as parquet partitioned by
+        # rec_kind — per-sink reads partition-prune to their kind, and
+        # executor memory never holds the corpus.
+        records_all.write.mode("overwrite").partitionBy("rec_kind").option(
+            "compression", cfg.compression
+        ).parquet(cfg.staging_dir)
+        records_all = spark.read.parquet(cfg.staging_dir)
+    else:
+        records_all = records_all.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(records_all)
 
     rejects_local = facts_ops.build_rejects(records_all)
 
@@ -154,7 +165,7 @@ def run_pipeline(
         by_signal_tool=agg.counts_by_signal_tool(routed_enriched),
         by_time_bucket=agg.counts_by_time_bucket(routed_enriched),
         n_conflict_invalid=n_invalid,
-        persisted=[records_all],
+        persisted=persisted,
     )
 
 
