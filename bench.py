@@ -47,6 +47,9 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Bench JVMs get a large pre-touched heap (see session.py rationale);
+# must be set before the first SparkSession launches.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
 TURNS_PER_SF = 30_000_000  # sf0.1 -> 3M turns
 
 

@@ -49,13 +49,17 @@ def main() -> None:
     sections: list[tuple[str, str, list[str]]] = []
     checks: list[tuple[str, bool, str]] = []
 
-    def audit(name, df, want=(), forbid=(), max_exchanges=None, note=""):
+    def audit(name, df, want=(), forbid=(), forbid_re=(), max_exchanges=None, note=""):
         df.collect()  # finalize AQE + codegen ids on THIS QueryExecution
         plan = formatted_plan(df)
         for marker in want:
             checks.append((f"{name}: plan contains '{marker}'", marker in plan, note))
         for marker in forbid:
             checks.append((f"{name}: plan avoids '{marker}'", marker not in plan, note))
+        for pat in forbid_re:
+            checks.append(
+                (f"{name}: plan avoids /{pat}/", re.search(pat, plan) is None, note)
+            )
         if max_exchanges is not None:
             n = count_exchanges(simple_plan(df))
             checks.append(
@@ -148,6 +152,25 @@ def main() -> None:
     audit("dp_ann_ivf_topk", ivf, forbid=["CartesianProduct"],
           note="IVF candidate generation is an equi-join on cell id — the "
                "cross product never appears in the plan")
+
+    nj = QUERIES["dp_ngram_jaccard"](spark, SF)
+    audit(
+        "dp_ngram_jaccard (LSH-gated default)", nj,
+        forbid=["CartesianProduct"],
+        # a join whose ONLY key is the shingle value = the all-pairs
+        # explosion; the gated path joins on (doc_b, shingle) / band keys
+        forbid_re=[r"keys \[1\]: \[shingle#\d+\]"],
+        note="the named op is candidate-gated: no shingle-only self-join, "
+             "intersections computed candidate-driven",
+    )
+
+    enl = QUERIES["dp_embedding_neardup_lsh"](spark, SF)
+    audit(
+        "dp_embedding_neardup_lsh", enl,
+        forbid=["CartesianProduct"],
+        note="embedding near-dup scale path: banded-signature equi-join "
+             "candidates + exact cosine verify — no cross product",
+    )
 
     ok = sum(1 for _, passed, _ in checks if passed)
     lines = [

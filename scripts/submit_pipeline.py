@@ -1,7 +1,9 @@
 """spark-submit entry point for the transcript pipeline (north rule:
 'ships as spark-submit --py-files jobs run at N and 4N executors').
 
-Usage (see scripts/run_spark_submit.sh):
+Use scripts/run_spark_submit.sh — it rebuilds dist/sqlite_otel_spark.zip
+from the working tree first (the zip is a build artifact, not committed),
+then runs:
 
     spark-submit --master local[8]  --py-files dist/sqlite_otel_spark.zip \
         scripts/submit_pipeline.py --input <transcripts.parquet> --output <dir>

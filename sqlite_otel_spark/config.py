@@ -65,9 +65,33 @@ class PipelineConfig:
     # input collecting too much to the driver.
     max_conflict_turns: int = 100_000
 
-    # Sink parquet layout.
+    # Streaming admission control (SURVEY §2.8 backpressure/limits).
+    # The reference caps each request body at 10 MB
+    # (handlers/handler_common.go:29) and ingests one request per
+    # micro-batch; the file-source analogues are maxFilesPerTrigger
+    # (per-request cadence) and maxBytesPerTrigger (byte admission cap,
+    # file granularity). None disables the corresponding option.
+    max_files_per_trigger: int | None = 1
+    max_bytes_per_trigger: int | None = None
+
+    # Sink parquet layout. ``max_records_per_file`` is the A4
+    # size-rotation analogue; ``target_file_bytes`` derives a per-sink
+    # records-per-file cap from measured average row width instead
+    # (mirrors logging/rotation.go:34-46 rotating on file SIZE) and
+    # takes precedence when set.
     max_records_per_file: int = 1_000_000
+    target_file_bytes: int | None = None
     compression: str = "zstd"
+
+    # Sink table format (north_star: per-sink Iceberg tables).
+    #  - 'parquet' (default): plain parquet directories — the sandbox
+    #    equivalent (no Iceberg catalog/jars here).
+    #  - 'iceberg': writeTo(<iceberg_table_prefix>.<sink>) snapshot
+    #    commits (≙ the reference's per-request SQLite transaction,
+    #    database/traces.go:11-15,86); falls back to parquet with a
+    #    warning when no Iceberg catalog is configured.
+    table_format: str = "parquet"
+    iceberg_table_prefix: str = "local.otel"
 
     # Per-sink malformed-row policy (F7): traces/metrics are lenient at the
     # envelope level but any record error fails the whole turn; logs are

@@ -57,19 +57,35 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.6,
                   candidates: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard over document pairs sharing >=1 shingle.
-    ``candidates`` (doc_a, doc_b) restricts the self-join to an LSH
-    candidate set — the scale path."""
+    """Exact n-gram Jaccard over document pairs.
+
+    Without ``candidates``: the full shingle self-join — correct but
+    quadratic in co-shingle frequency (a stop-shingle explodes it);
+    small-scale oracle use only.
+
+    With ``candidates`` (doc_a, doc_b) — the scale path: intersections
+    are computed candidate-driven, ``cand ⋈ sh(doc_a) ⋈ sh(doc_b,
+    shingle)``, so the work is |candidates| x avg-shingles equi-joins
+    and the all-pairs shingle self-join NEVER runs (a post-hoc semi-join
+    on the self-join's output would still have materialized the
+    explosion inside the join)."""
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        pairs = pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"], "leftsemi")
+        pairs = (
+            F.broadcast(candidates.select("doc_a", "doc_b"))
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        pairs = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
         pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")

@@ -151,6 +151,46 @@ def ivf_topk(
     )
 
 
+def lsh_near_pairs(
+    vectors: DataFrame, dim: int, threshold: float = 0.4,
+    n_planes: int = 12, bands: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-gated (the scale path for
+    dp_embedding_neardup): candidates are pairs agreeing on >=1
+    signature band — an equi-join on (band, band_bits) — then exact
+    cosine verification. The crossJoin all-pairs form is O(N^2) and
+    exists only as the small-scale oracle baseline."""
+    sig = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("sig"),
+    )
+    r_bits = n_planes // bands
+    mask = F.lit((1 << r_bits) - 1)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sig"), b * r_bits).bitwiseAND(mask).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig.select("vec_id", "v", F.explode(band_structs).alias("x")).select(
+        "vec_id", "v", "x.band", "x.bh"
+    )
+    a = banded.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("ea"),
+                      "band", "bh")
+    b = banded.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("eb"),
+                      "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cosine", F.round(cosine_col(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     n_planes: int = 12, bands: int = 4, id_col: str = "vec_id",

@@ -28,6 +28,11 @@ import json
 import math
 from typing import Any
 
+try:  # C-accelerated fast paths; stdlib remains the semantic reference
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
+
 # Go json.Marshal default HTML escaping; these bytes only occur inside
 # string values, so a whole-document replace is equivalent.
 _GO_ESCAPES = (
@@ -41,29 +46,64 @@ _GO_ESCAPES = (
 _F_CUTOFF = 1e21  # Go encoder switches to exponent format at 1e21
 
 
+_STRICT_DECODER = json.JSONDecoder(parse_int=float, parse_float=float)
+
+
 def go_loads(text: str) -> Any:
-    """Decode JSON the way Go decodes into ``map[string]interface{}``:
-    every number becomes float64. Like ``json.Decoder.Decode`` we accept
+    """Decode JSON with Go's ``map[string]interface{}`` number semantics:
+    every number is float64. Like ``json.Decoder.Decode`` we accept
     (and ignore) trailing content after the first JSON value
     (handlers/handler_common.go:35 uses a streaming decoder).
     Raises ValueError on empty input (EOF) and json.JSONDecodeError on
     malformed input.
+
+    Fast path: orjson (2.5x the stdlib scanner) — it returns ints AS
+    ints, which is float64-EQUIVALENT for |v| <= 2^53 everywhere
+    downstream (comparisons, int() coercions, canonical printing:
+    Go prints integer-valued float64 without a decimal point); values
+    outside that range are float64-round-tripped at their use sites
+    (``_normalize`` here, ``_num_or_zero`` in parse.py). Inputs orjson
+    rejects but the stdlib accepts (trailing content, Infinity/NaN
+    literals, lone surrogates) fall back to the stdlib decoder, whose
+    behavior is unchanged.
     """
     stripped = text.lstrip()
     if not stripped:
         raise ValueError("EOF")  # empty body — handler_common.go:38-41
-    obj, _end = json.JSONDecoder(parse_int=float, parse_float=float).raw_decode(stripped)
+    if _orjson is not None:
+        try:
+            return _orjson.loads(stripped)
+        except Exception:
+            pass
+    obj, _end = _STRICT_DECODER.raw_decode(stripped)
     return obj
+
+
+_SAFE_INT = 1 << 53  # float64 represents every int in [-2^53, 2^53] exactly
 
 
 def _normalize(obj: Any) -> Any:
     """Prepare a decoded tree for Go-compatible dumping: integer-valued
     floats below the 'f'-format cutoff become ints so they print as Go
-    prints float64 ("3" not "3.0")."""
+    prints float64 ("3" not "3.0"); ints beyond 2^53 (possible on the
+    orjson decode path — the stdlib path parses all numbers as float)
+    take the float64 round trip Go's decoder would have applied."""
     if isinstance(obj, float):
         if math.isfinite(obj) and obj.is_integer() and abs(obj) < _F_CUTOFF:
             return int(obj)
         return obj
+    if isinstance(obj, bool):
+        return obj
+    if isinstance(obj, int):
+        if -_SAFE_INT <= obj <= _SAFE_INT:
+            return obj
+        try:
+            f = float(obj)
+        except OverflowError:  # beyond float64 range, as the stdlib path's inf
+            f = math.inf if obj > 0 else -math.inf
+        if math.isfinite(f) and abs(f) < _F_CUTOFF:
+            return int(f)
+        return f
     if isinstance(obj, dict):
         return {k: _normalize(v) for k, v in obj.items()}
     if isinstance(obj, list):
@@ -71,19 +111,65 @@ def _normalize(obj: Any) -> Any:
     return obj
 
 
+def _orjson_exact(obj: Any) -> bool:
+    """True iff ``orjson.dumps(obj, OPT_SORT_KEYS)`` is byte-identical to
+    the normalize+json.dumps reference path (verified empirically over
+    every BMP/astral code point and millions of sampled values; see
+    tests/test_parse_property.py differential coverage). Read-only walk —
+    no tree copy. Risky and excluded:
+     - integer-valued floats (Go prints "3", orjson "3.0");
+     - floats repr'd in exponent form (orjson '1e21' vs Go/stdlib
+       '1e+21') — i.e. |x| >= 1e16 or < 1e-4;
+     - NaN/inf (stdlib prints 'Infinity', orjson rejects);
+     - ints beyond 2^53 (need the Go float64 round trip);
+     - any non-JSON-native type."""
+    t = type(obj)
+    if t is str:
+        return True
+    if t is dict:
+        for k, v in obj.items():
+            if type(k) is not str or not _orjson_exact(v):
+                return False
+        return True
+    if t is list:
+        for v in obj:
+            if not _orjson_exact(v):
+                return False
+        return True
+    if t is bool or obj is None:
+        return True
+    if t is int:
+        return -_SAFE_INT <= obj <= _SAFE_INT
+    if t is float:
+        if obj != obj or obj.is_integer():  # NaN / would-be-int
+            return False
+        a = obj if obj > 0.0 else -obj
+        return 1e-4 <= a < 1e16
+    return False
+
+
 def canonical_dumps(obj: Any) -> str:
     """Serialize like Go json.Marshal: sorted keys, compact, HTML-escaped.
     ``None`` serializes to ``"null"`` — load-bearing: missing span
     attributes/events/links marshal to the string "null"
     (database/traces.go:130-146 marshals a nil interface{}).
-    """
-    s = json.dumps(
-        _normalize(obj),
-        sort_keys=True,
-        separators=(",", ":"),
-        ensure_ascii=False,
-    )
+
+    The hot path (this is >half of parse-stage CPU) is C-side
+    orjson.dumps whenever the tree is in the byte-exactness-proven
+    domain; anything risky falls back to the stdlib reference path."""
+    if _orjson is not None and _orjson_exact(obj):
+        s = _orjson.dumps(obj, option=_ORJSON_OPTS).decode("utf-8")
+    else:
+        s = json.dumps(
+            _normalize(obj),
+            sort_keys=True,
+            separators=(",", ":"),
+            ensure_ascii=False,
+        )
     for ch, esc in _GO_ESCAPES:
         if ch in s:
             s = s.replace(ch, esc)
     return s
+
+
+_ORJSON_OPTS = _orjson.OPT_SORT_KEYS if _orjson is not None else 0

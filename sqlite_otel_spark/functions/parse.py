@@ -229,7 +229,13 @@ def _opt_time(rec: dict, key: str) -> int:
 
 def _num_or_zero(rec: dict, key: str) -> int:
     v = rec.get(key)
-    return int(v) if _is_num(v) else 0
+    if not _is_num(v):
+        return 0
+    if isinstance(v, int) and not -(2**53) <= v <= 2**53:
+        # orjson decode keeps big ints exact; Go decoded float64 — apply
+        # the same precision round before the int64 narrowing.
+        v = float(v)
+    return int(v)
 
 
 def _str_or_empty(rec: dict, key: str) -> str:

@@ -65,7 +65,13 @@ def session_counts(df: DataFrame, key: str, ts_col: str = "ts",
     aggs = [F.count(F.lit(1)).alias("n_events")]
     out_cols = ["n_events"]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        # Sum cent-scaled integers, not floats: float sums are
+        # order-dependent and a post-hoc round(...,2) can disagree with
+        # the oracle's own summation order at the last digit on .xx5
+        # ties. Integer sums are associative -> deterministic under any
+        # partitioning.
+        cents = F.round(F.col(value_col) * 100).cast("long")
+        aggs.append((F.sum(cents) / 100.0).alias("sum_value"))
         out_cols.append("sum_value")
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)

@@ -12,13 +12,14 @@ for later turns — a sequential cascade:
 Distributed resolution: only turns that contain a *globally duplicated*
 key can be affected (keys unique to one turn can never collide). Those
 turns are a vanishing fraction of real telemetry (duplicate span ids are
-pathological), so ONE aggregation over the pruned span-key projection
-finds the duplicated keys and collects their touching turns in the same
-pass (collect_list rides the partial+final hash agg); the driver replays
-the sequential commit order over just those pairs. The verdict set is
-broadcast back as an anti-join. A hard cap guards the collect; exceeding
-it means the input is adversarial and the job should fail loudly rather
-than OOM the driver.
+pathological), so a counts-only aggregation over the pruned span-key
+projection finds the duplicated keys first and enforces the hard cap,
+then a semi-join collects the (turn, key) pairs — provably bounded by
+the cap — and the driver replays the sequential commit order over just
+those pairs. The verdict set is broadcast back as an anti-join.
+Exceeding the cap means the input is adversarial and the job fails
+loudly (before any oversized group materializes on an executor or any
+wide row reaches the driver) rather than OOMing.
 
 Canonical arrival order is (conv_id, turn_idx) — the graft's stable
 ordering invariant (BASELINE.json input_hint).
@@ -40,42 +41,47 @@ def resolve_span_conflicts(
     """Return (invalid_turns_df | None, n_invalid) — turns rejected by the
     cross-turn spans PK cascade. ``records`` is the flat record stream
     (operators/records.py); locally-failed turns emitted no span rows and
-    are transparently excluded. ONE aggregation job over the pruned
-    (conv_id, turn_idx, trace_id, span_id) projection: duplicated keys
-    collect their touching turns in the same pass (map-side partial agg;
-    the dup set is near-empty in sane inputs)."""
+    are transparently excluded. Two jobs over the pruned
+    (conv_id, turn_idx, trace_id, span_id) projection: a counts-only agg
+    that enforces the cap, then a bounded semi-join collect (the dup set
+    is near-empty in sane inputs)."""
     span_keys = records.filter(F.col("rec_kind") == "span").select(
         "conv_id", "turn_idx", "trace_id", "span_id"
     )
-    dup_rows = (
+    # Pass 1 — counts only: the adversarial-input guard fires BEFORE any
+    # per-key list materializes on an executor or any wide row reaches
+    # the driver (a hot key under collect_list would otherwise buffer its
+    # whole group first). This is a pure partial+final count agg.
+    dup_keys = (
         span_keys.groupBy("trace_id", "span_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.slice(
-                F.collect_list(F.struct("conv_id", "turn_idx")),
-                1, max_conflict_turns + 1,
-            ).alias("turns"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .limit(max_conflict_turns + 1)
-        .collect()
     )
-    if not dup_rows:
+    stats = dup_keys.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("n_pairs")
+    ).collect()[0]
+    if not stats.n_keys:
         return None, 0
-    n_pairs = sum(r.n for r in dup_rows)
-    if len(dup_rows) > max_conflict_turns or n_pairs > max_conflict_turns:
+    if stats.n_keys > max_conflict_turns or stats.n_pairs > max_conflict_turns:
         raise ConflictOverflowError(
             f"more than {max_conflict_turns} span-PK-conflicting turn/key pairs; "
             "input looks adversarial (duplicate trace/span ids at scale)"
         )
+    # Pass 2 — now provably bounded (n_pairs <= max_conflict_turns rows):
+    # semi-join the pruned projection against the duplicated keys and
+    # collect the flat (turn, key) pairs.
+    pair_rows = span_keys.join(
+        F.broadcast(dup_keys.select("trace_id", "span_id")),
+        ["trace_id", "span_id"],
+        "leftsemi",
+    ).collect()
 
     # Sequential replay in canonical arrival order.
     by_turn: dict[tuple, list[tuple]] = {}
-    for r in dup_rows:
-        for t in r.turns:
-            by_turn.setdefault((t.conv_id, t.turn_idx), []).append(
-                (r.trace_id, r.span_id)
-            )
+    for r in pair_rows:
+        by_turn.setdefault((r.conv_id, r.turn_idx), []).append(
+            (r.trace_id, r.span_id)
+        )
     committed: set[tuple] = set()
     invalid: list[tuple] = []
     for turn in sorted(by_turn):

@@ -105,6 +105,13 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
             }
             turn = acc["turn"]
             inputs = [pdf[c].tolist() for c in _INPUT_COLS]
+            # A null (or uncastable) ts makes Arrow->pandas deliver ts_us
+            # as float64 with NaN; feeding floats/NaN back into the
+            # LongType column would fail the whole batch. Restore
+            # int-or-None per value (only paid when nulls are present).
+            if pdf["ts_us"].dtype.kind == "f":
+                i = _INPUT_COLS.index("ts_us")
+                inputs[i] = [None if v != v else int(v) for v in inputs[i]]
             for conv, ti, role, tool, ts, text in zip(*inputs):
                 p = parse_turn(text, max_text_bytes)
                 turn["conv_id"].append(conv)

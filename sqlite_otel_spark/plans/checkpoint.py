@@ -169,11 +169,18 @@ def _process_bucket(
                 .select("conv_id", "turn_idx", *METRIC_DEF_SRC)
             ),
         }
+        # Row counts ride the write itself as observed metrics — the
+        # commit must not rescan its own output (7 extra scans/bucket).
+        from pyspark.sql import Observation
+
         counts = {}
         for name, df in outputs.items():
             path = f"{out_dir}/{name}/bucket={bucket}"
-            df.write.mode("overwrite").option("compression", cfg.compression).parquet(path)
-            counts[name] = spark.read.parquet(path).count()
+            obs = Observation(f"rows_{name}_b{bucket}")
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).option("compression", cfg.compression).parquet(path)
+            counts[name] = obs.get["n"]
         return counts
     finally:
         records.unpersist()

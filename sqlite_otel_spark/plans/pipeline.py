@@ -169,11 +169,49 @@ def run_pipeline(
     )
 
 
+def derive_max_records_per_file(
+    df: DataFrame, target_bytes: int, compression: str, sample_rows: int = 4096
+) -> int:
+    """A4 size-based rotation analogue (logging/rotation.go:34-46 rotates
+    the log when file size >= MaxSize): derive a records-per-file cap
+    from the MEASURED parquet-encoded width of a bounded row sample —
+    the sample is written through pyarrow with the sink's own codec, so
+    the bytes/row estimate reflects real encoding+compression, not an
+    in-memory guess. Dictionary/RLE compress better at full file size
+    than on a 4k sample, so files land at-or-under target (the reference
+    guarantees the same direction: rotate at >= MaxSize)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sample = df.limit(sample_rows).toPandas()
+    if len(sample) == 0:
+        return 1
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pandas(sample, preserve_index=False), buf,
+                   compression=compression)
+    bytes_per_row = max(1.0, buf.tell() / len(sample))
+    return max(1, int(target_bytes / bytes_per_row))
+
+
 def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None = None) -> None:
-    """S3/S4: atomic per-table parquet commits (≙ the reference's
-    per-request SQLite transaction + schema auto-init, database/db.go:53-165).
-    Iceberg would give snapshot isolation on a real catalog; plain parquet
-    directories are the sandbox equivalent.
+    """S3/S4: atomic per-table commits (≙ the reference's per-request
+    SQLite transaction + schema auto-init, database/db.go:53-165).
+
+    Table format (cfg.table_format):
+     - 'iceberg': ``writeTo(...).createOrReplace()`` — one Iceberg
+       snapshot commit per sink (readers see old-or-new, never partial,
+       matching WAL readers-vs-writer semantics, database/db.go:26-28).
+       On a cluster the dimension get-or-create would become
+       ``MERGE INTO dim USING touches ON natural_key WHEN NOT MATCHED
+       THEN INSERT`` per batch; falls back to parquet when no catalog
+       is configured (this sandbox has no Iceberg jars).
+     - 'parquet' (default): plain parquet directory per sink.
+
+    File rotation (A4): ``target_file_bytes`` derives maxRecordsPerFile
+    from measured parquet row width (see derive_max_records_per_file),
+    else the static ``max_records_per_file`` cap applies.
 
     The seven sink branches are independent sub-DAGs over the shared
     persisted record stream, so they are submitted CONCURRENTLY from
@@ -184,10 +222,34 @@ def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None
 
     def write_one(item):
         name, df = item
+        if cfg.target_file_bytes is not None:
+            per_file = derive_max_records_per_file(
+                df, cfg.target_file_bytes, cfg.compression
+            )
+        else:
+            per_file = cfg.max_records_per_file
+        if cfg.table_format == "iceberg":
+            try:
+                (
+                    df.writeTo(f"{cfg.iceberg_table_prefix}.{name}")
+                    .using("iceberg")
+                    .tableProperty("write.parquet.compression-codec", cfg.compression)
+                    .tableProperty("write.target-file-size-bytes",
+                                   str(cfg.target_file_bytes or 512 * 1024 * 1024))
+                    .createOrReplace()
+                )
+                return
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"iceberg write for sink '{name}' unavailable "
+                    f"({type(e).__name__}); falling back to parquet"
+                )
         (
             df.write.mode("overwrite")
             .option("compression", cfg.compression)
-            .option("maxRecordsPerFile", cfg.max_records_per_file)
+            .option("maxRecordsPerFile", per_file)
             .parquet(f"{out_dir}/{name}")
         )
 

@@ -111,9 +111,16 @@ def _pipeline(spark: SparkSession):
     """,
 )
 def pipeline_sink_counts(spark, sf_dir):
-    """A2: per-sink row counts — THE north-rule count-equality check."""
+    """A2: per-sink row counts — THE north-rule count-equality check.
+    The seven counts are independent sub-DAGs over the shared cached
+    record stream; submit them concurrently instead of serially."""
+    from concurrent.futures import ThreadPoolExecutor
+
     res = _pipeline(spark)
-    rows = [(name, df.count()) for name, df in res.sinks.items()]
+    items = list(res.sinks.items())
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        futs = [(name, pool.submit(df.count)) for name, df in items]
+        rows = [(name, f.result()) for name, f in futs]
     return spark.createDataFrame(rows, "sink string, n_rows long")
 
 
@@ -544,7 +551,7 @@ def a3_time_bucket_counts(spark, sf_dir):
            min(ts) AS session_start,
            max(ts) + INTERVAL '10 minutes' AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM sess GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
@@ -875,7 +882,7 @@ def w1_window_rank_orders(spark, sf_dir):
     """
     SELECT fingerprint, n_docs, doc_ids FROM (
       SELECT md5(props) AS fingerprint, count(*) AS n_docs,
-             list_sort(list(event_id)) AS doc_ids
+             array_to_string(list_sort(list(event_id)), ',') AS doc_ids
       FROM events GROUP BY md5(props)
     ) WHERE n_docs > 1 ORDER BY fingerprint
     """,
@@ -883,11 +890,18 @@ def w1_window_rank_orders(spark, sf_dir):
 def dp_dedup_exact(spark, sf_dir):
     """Exact dedup (hash groupBy) — run on events.props, which actually
     contains byte-identical duplicates (documents has only near-dups,
-    planted exact dupes are covered by tests/test_datapipe.py)."""
+    planted exact dupes are covered by tests/test_datapipe.py). The
+    operator returns doc_ids as array<long>; the query entry serializes
+    it to a comma-joined string because the driver's hash harness
+    canonicalizes rows via pandas sort (lists are unhashable there)."""
     ev = _t(spark, sf_dir, "events").select(
         F.col("event_id").alias("doc_id"), F.col("props").alias("text")
     )
-    return dd.exact_duplicates(ev).orderBy("fingerprint")
+    return (
+        dd.exact_duplicates(ev)
+        .withColumn("doc_ids", F.concat_ws(",", F.col("doc_ids").cast("array<string>")))
+        .orderBy("fingerprint")
+    )
 
 
 @q(
@@ -983,43 +997,6 @@ def dp_quality_score(spark, sf_dir):
     return docs.select(
         "doc_id", *[c.alias(name) for name, c in cols.items()]
     ).orderBy("doc_id")
-
-
-@q(
-    "dp_ngram_jaccard",
-    """
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(
-               generate_series(1, greatest(len(w) - 2, 0)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             )) AS shingle
-      FROM toks
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT p.doc_a, p.doc_b, p.inter,
-           sa.n AS na, sb.n AS nb,
-           round(p.inter / (sa.n + sb.n - p.inter), 4) AS jaccard
-    FROM pairs p
-    JOIN sizes sa ON sa.doc_id = p.doc_a
-    JOIN sizes sb ON sb.doc_id = p.doc_b
-    WHERE round(p.inter / (sa.n + sb.n - p.inter), 4) >= 0.6
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dp_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    sh = dd.shingles(docs, n=3)
-    return dd.jaccard_pairs(sh, threshold=0.6).orderBy("doc_a", "doc_b")
-
 
 
 # ---------------------------------------------------------------------------
@@ -1180,6 +1157,28 @@ def _ann_lsh_sql(dim: int = 64, k: int = 10, n_planes: int = 12,
     """
 
 
+@q("dp_ngram_jaccard", _minhash_lsh_sql(num_perm=32, bands=16, rows=2, threshold=0.6))
+def dp_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs, LSH-gated BY DEFAULT (the scale
+    path): a stop-shingle makes the ungated shingle self-join quadratic
+    at 100 TB, so the named pipeline op runs MinHash-LSH candidate
+    generation (16 bands x 2 rows over 32 permutations — collision
+    probability at j=0.6 is 1-(1-0.6^2)^16 ≈ 0.999) and computes exact
+    Jaccard candidate-driven (dedup.jaccard_pairs candidates path — the
+    all-pairs join never runs). The DuckDB oracle reproduces the GATE
+    too (md5hash60 is cross-engine), so a gate miss can never produce a
+    hash mismatch; the ungated exact form remains available as
+    jaccard_pairs(candidates=None) for small-scale oracle checks (tests
+    compare gated vs exact recall)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, n=3)
+    cand = dd.minhash_lsh_candidates(
+        dd.minhash_signatures(sh, 32, hash_fn="md5"), bands=16, rows=2,
+        hash_fn="md5",
+    )
+    return dd.jaccard_pairs(sh, threshold=0.6, candidates=cand).orderBy("doc_a", "doc_b")
+
+
 @q("dp_minhash_lsh", _minhash_lsh_sql())
 def dp_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(16x4) candidates verified by exact Jaccard, using
@@ -1220,8 +1219,10 @@ def dp_simhash_neardup(spark, sf_dir):
     """,
 )
 def dp_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup detection (brute force at test scale;
-    the LSH path below is the 100 TB strategy)."""
+    """Embedding-cosine near-dup detection, exact all-pairs form — the
+    small-scale ORACLE BASELINE only (O(N^2) by construction);
+    dp_embedding_neardup_lsh below is the scale-path named op (recall
+    of the gate vs this baseline is measured in pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
@@ -1233,6 +1234,60 @@ def dp_embedding_neardup(spark, sf_dir):
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _embedding_neardup_lsh_sql(dim: int = 64, threshold: float = 0.4,
+                               n_planes: int = 12, bands: int = 4) -> str:
+    from sqlite_otel_spark.datapipe.similarity import hyperplane
+
+    r_bits = n_planes // bands
+    mask = (1 << r_bits) - 1
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], [{plane}]) > 0 "
+        "THEN {w} ELSE 0 END)".format(
+            plane=", ".join(repr(c) for c in hyperplane(dim, p)), w=1 << p
+        )
+        for p in range(n_planes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * r_bits}) & {mask} AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, {sig_terms} AS sig FROM embeddings
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 4) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]), 4) >= {threshold}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@q("dp_embedding_neardup_lsh", _embedding_neardup_lsh_sql())
+def dp_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup, hyperplane-LSH-gated (the 100 TB named op):
+    candidate generation is an equi-join on (band, band_bits) — the
+    plan contains NO CartesianProduct (asserted by explain_audit) —
+    then exact cosine verification of candidates only. The seeded
+    hyperplanes are pure functions of (plane, dim), so the DuckDB
+    oracle embeds identical plane literals and reproduces bucketing +
+    verification end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_near_pairs(emb, dim=64, threshold=0.4).orderBy("vec_a", "vec_b")
 
 
 @q(
@@ -1376,3 +1431,33 @@ def dp_multimodal_resize(spark, sf_dir):
     oracle reproduces the exact floor/scale results."""
     docs = _t(spark, sf_dir, "documents")
     return mm.resize(mm.to_media(docs), 128, 96).orderBy("doc_id")
+
+
+@q(
+    "dp_frame_sample",
+    """
+    SELECT doc_id, media_type,
+           CAST(gs - 1 AS INTEGER) AS frame_idx,
+           substr(text, CAST((gs - 1) * 64 + 1 AS INTEGER), 8) AS frame_sig
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             text,
+             unnest(generate_series(
+               1, greatest(CAST(floor(strlen(text) / 64.0) AS INTEGER), 1)
+             )) AS gs
+      FROM documents
+    ) ORDER BY doc_id, frame_idx
+    """,
+)
+def dp_frame_sample(spark, sf_dir):
+    """Frame sampling stand-in (multimodal.py frame_sample): native
+    posexplode over byte-offset slices — the substring arithmetic is
+    SQL-reproducible, so the DuckDB oracle recomputes every frame
+    signature."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.frame_sample(mm.to_media(docs), every_n_bytes=64).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -6,6 +6,8 @@ timestamps, database/db.go:86-87).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -34,14 +36,18 @@ def get_spark(
         # Keep parquet scans vectorized and pruned.
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.files.maxPartitionBytes": "128m",
-        # Single-JVM local mode: the driver IS the executor. The default
-        # 1g heap GC-thrashes under 32 concurrent tasks; AlwaysPreTouch
-        # prepays the (lazily host-faulted, expensive on microVMs) heap
-        # pages instead of paying them erratically mid-benchmark. Both
-        # only take effect on the first JVM launch in a process.
-        "spark.driver.memory": "12g",
-        "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch",
     }
+    # Single-JVM local mode under load: the default 1g heap GC-thrashes
+    # with 32 concurrent tasks, and AlwaysPreTouch prepays the (lazily
+    # host-faulted, expensive on microVMs) heap pages instead of paying
+    # them erratically mid-benchmark. Opt-in via SPARK_GRAFT_DRIVER_MEM
+    # (bench.py sets 12g) rather than library-wide: both only take
+    # effect on the FIRST JVM launch in a process, and an unconditional
+    # 12g would fail outright on small hosts / tiny test sessions.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem:
+        conf["spark.driver.memory"] = driver_mem
+        conf["spark.driver.extraJavaOptions"] = "-XX:+AlwaysPreTouch"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -121,11 +121,15 @@ def start_stream(
     streaming checkpoint + idempotent appends."""
     cfg = cfg or PipelineConfig()
     os.makedirs(out_dir, exist_ok=True)
-    src = (
-        spark.readStream.schema(TRANSCRIPT_DDL)
-        .option("maxFilesPerTrigger", 1)  # per-request micro-batch analogue
-        .parquet(input_dir)
-    )
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if cfg.max_files_per_trigger is not None:
+        # per-request micro-batch analogue
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    if cfg.max_bytes_per_trigger is not None:
+        # byte admission cap — the 10 MB/request analogue
+        # (handlers/handler_common.go:29); file-granularity in Spark.
+        reader = reader.option("maxBytesPerTrigger", str(cfg.max_bytes_per_trigger))
+    src = reader.parquet(input_dir)
     return (
         src.writeStream
         .foreachBatch(lambda df, bid: process_batch(spark, df, bid, out_dir, cfg))

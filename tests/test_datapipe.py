@@ -90,6 +90,50 @@ def test_minhash_lsh_recall(spark, docs):
     assert approx <= exact
 
 
+def test_gated_jaccard_default_recall(spark, docs):
+    """The dp_ngram_jaccard default is the 16x2-banded MinHash gate over
+    32 permutations: its output must be a subset of the exact all-pairs
+    result with near-total recall at the 0.6 threshold."""
+    sh = dd.shingles(docs)
+    exact = {(r.doc_a, r.doc_b) for r in dd.jaccard_pairs(sh, 0.6).collect()}
+    assert len(exact) >= 10  # planted near-dups
+    cand = dd.minhash_lsh_candidates(dd.minhash_signatures(sh, 32), bands=16, rows=2)
+    gated = {
+        (r.doc_a, r.doc_b)
+        for r in dd.jaccard_pairs(sh, 0.6, candidates=cand).collect()
+    }
+    assert gated <= exact
+    assert len(gated & exact) / len(exact) >= 0.95  # 1-(1-j^2)^16 ≈ .999 at j=.6
+
+
+def test_lsh_near_pairs_subset_of_exact(spark, emb):
+    """dp_embedding_neardup_lsh (the scale path): every reported pair
+    must also be an exact-cosine near-dup with the identical rounded
+    cosine; the banded gate keeps a usable fraction of them."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", F.round(sim.cosine_col(F.col("ea"), F.col("eb")), 4))
+            .filter(F.col("cosine") >= 0.4)
+        ).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.lsh_near_pairs(emb, dim=64, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k]
+    if exact:
+        # 12-plane/4-band gate: collision prob rises with cosine; random
+        # vectors near the 0.4 floor collide ~1/3 of the time
+        assert len(got) / len(exact) >= 0.2
+
+
 def test_simhash_matches_python(spark, docs):
     import ctypes
 

@@ -25,6 +25,15 @@ scalars = st.one_of(
     st.text(max_size=12),
     # strings that look like numbers (timestamp/asInt paths)
     st.sampled_from(["123", "-5", "  42 ", "1e3", "abc", "", "9" * 25]),
+    # the orjson-fast-path exactness frontier (canonical_json._orjson_exact):
+    # ints straddling 2^53, floats straddling the 1e16 / 1e-4 repr-format
+    # cutoffs and integer-valued floats — pipeline (orjson-capable) and
+    # oracle (stdlib-only) must stay byte-identical on all of them
+    st.sampled_from([
+        2**53 - 1, 2**53, 2**53 + 1, -(2**53) - 1, 2**60 + 7,
+        3.0, -2.0, 1e16, 9999999999999998.0, 1.5e16, 1e-4, 9.9e-5,
+        1e21, 1.0000000000000002,
+    ]),
 )
 
 json_values = st.recursive(

@@ -275,9 +275,20 @@ def test_canonical_dumps_go_parity(obj, want):
     assert canonical_dumps(obj) == want
 
 
-def test_go_loads_numbers_are_float64():
+def test_go_loads_numbers_are_float64_equivalent():
+    """The decoder may return int or float (orjson fast path vs stdlib),
+    but every OBSERVABLE behavior must match Go's float64 model: 2^53+1
+    canonical-prints and int64-narrows as the rounded 2^53."""
     v = go_loads('{"n": 9007199254740993}')["n"]   # 2^53+1: float64 rounds
-    assert v == 9007199254740992.0
+    assert float(v) == 9007199254740992.0
+    assert canonical_dumps(go_loads('{"n": 9007199254740993}')) == \
+        '{"n":9007199254740992}'
+    # int64 narrowing sites apply the same round (kind/severity/flags)
+    p = parse_turn(
+        '{"resourceSpans":[{"resource":{},"scopeSpans":[{"spans":[{"traceId":"t",'
+        '"spanId":"s","kind":9007199254740993}]}]}]}'
+    )
+    assert p["spans"][0]["kind"] == 9007199254740992
 
 
 # --------------------------------------------------------------------------

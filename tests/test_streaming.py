@@ -57,6 +57,27 @@ def test_stream_matches_oracle(spark, stream_dirs):
     assert got == set(oracle.spans)
 
 
+def test_max_bytes_per_trigger_admission(spark, stream_dirs, tmp_path):
+    """Byte-based admission control (the 10 MB/request analogue,
+    handlers/handler_common.go:29): a tiny byte cap admits one file per
+    micro-batch (file granularity), and the sink contents are unchanged
+    vs any other batching."""
+    rows, input_dir, _ = stream_dirs
+    out_dir = str(tmp_path / "bytes_out")
+    cfg = PipelineConfig(max_files_per_trigger=None, max_bytes_per_trigger=1)
+    q = st.start_stream(spark, input_dir, out_dir, cfg,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 3  # one per input file under the 1-byte cap
+    want = OracleDB().run(rows).sink_counts()
+    got = {
+        t: spark.read.parquet(f"{out_dir}/{t}").count()
+        for t in ("spans", "log_records", "metric_data_points", "rejects")
+    }
+    assert got == {k: want[k] for k in got}
+
+
 def test_windowed_counts_with_watermark(spark, stream_dirs):
     rows, input_dir, _ = stream_dirs
     sdf = st.windowed_counts(spark, input_dir, watermark="10 minutes", bucket="1 hour")
