@@ -175,7 +175,7 @@ def main() -> None:
     queries = {"pipeline_e2e": round(wallN, 3), **time_queries(sparkN)}
 
     _, wall8 = level("local[8]", 8, 16, k=2)
-    _, wall2 = level("local[2]", 2, 4, k=1)
+    _, wall2 = level("local[2]", 2, 4, k=2)
 
     thr2, thr8, thrN = (n_turns / w for w in (wall2, wall8, wallN))
     eff_2_8 = (thr8 / thr2) / 4

@@ -14,7 +14,7 @@ semantics of the reference collector's write path:
    dimension touches)
 
 ``parse_turn``/``turn_records`` feed the pipeline's Arrow-vectorized
-``mapInPandas`` stage (operators/records.py). The pytest oracle (oracle.py) is an
+``mapInArrow`` stage (operators/records.py). The pytest oracle (oracle.py) is an
 independent sequential implementation of the same Go semantics; the two
 share nothing but the canonical-JSON helper, whose correctness only
 matters for self-consistent dedup keys.

@@ -1,6 +1,6 @@
 """P1 (physical form): transcripts -> flat union-record stream.
 
-One Arrow-vectorized ``mapInPandas`` pass applies the reference's whole
+One Arrow-vectorized ``mapInArrow`` pass applies the reference's whole
 per-request write path (validate F1-F6 -> decode P1 -> flatten P2-P4 ->
 project P5-P7 -> per-turn tx rollback, handlers/handler_common.go:15-45 +
 database/*.go) and emits ONE ROW PER RECORD with a ``rec_kind``
@@ -17,13 +17,21 @@ Why this shape (scale rationale, measured at 200k-1M turns / local[32]):
  - the record stream is the natural checkpoint artifact: committed
    staging partitions ARE the resume lineage.
 
+Why ``mapInArrow`` rather than ``mapInPandas`` (measured ~25-30% of the
+stage wall): the kernel is a per-turn Python loop either way, but
+pandas adds a round trip on both edges — input Arrow -> object-dtype
+Series -> tolist(), output lists -> object Series -> DataFrame ->
+Arrow. Building ``pyarrow.RecordBatch`` columns straight from the
+Python lists skips all four conversions, and null handling becomes
+native (a null ts stays None instead of poisoning an int64 column into
+float64+NaN).
+
 Emission is columnar per kind: each input batch accumulates per-kind
-column lists and yields one pandas frame per kind, so a record touches
-only its own columns (a span fills 24, not 43) and the absent columns
-materialize as O(1)-ish numpy None fills. Long columns never pass
-through float64 (NaN coercion would silently round int64 nanosecond
-timestamps beyond 2^53 — SURVEY §2.3 P8 stores raw int64 nanos), hence
-object dtype end-to-end.
+column lists and yields one RecordBatch per kind, so a record touches
+only its own columns (a span fills 24, not 43) and absent columns
+materialize as O(1) ``pa.nulls``. Long columns never pass through
+float64 (NaN coercion would silently round int64 nanosecond timestamps
+beyond 2^53 — SURVEY §2.3 P8 stores raw int64 nanos).
 
 The per-turn semantics live in ``functions.parse`` (pure, unit-
 testable); this module only owns the Spark plumbing.
@@ -31,8 +39,7 @@ testable); this module only owns the Spark plumbing.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from sqlite_otel_spark.functions.parse import (
@@ -61,23 +68,39 @@ _KIND_FIELDS = {
 }
 _TURN_COLS = ["signal_type", "error", "text"]
 
+# Spark SQL type -> arrow type for the record stream (all scalars).
+_PA_BY_SPARK = {
+    "string": pa.string(),
+    "int": pa.int32(),
+    "bigint": pa.int64(),
+    "double": pa.float64(),
+}
 
-def _frame(kind: str, cols: dict[str, list], out_cols: list[str]) -> pd.DataFrame:
-    """Assemble a full-width output pandas frame for one kind; columns
-    the kind doesn't produce are null-filled."""
+
+def _pa_schema(extra_n_bytes: bool) -> pa.Schema:
+    fields = [
+        pa.field(f.name, _PA_BY_SPARK[f.dataType.simpleString()])
+        for f in RECORDS_SCHEMA.fields
+    ]
+    if extra_n_bytes:
+        fields.append(pa.field("n_bytes", pa.int64()))
+    return pa.schema(fields)
+
+
+def _batch(kind: str, cols: dict[str, list], schema: pa.Schema) -> pa.RecordBatch:
+    """Assemble a full-width RecordBatch for one kind; columns the kind
+    doesn't produce are null-filled (O(1) null bitmaps, no per-row
+    Python)."""
     n = len(cols["conv_id"])
-    none_fill = None
-    out = {}
-    for c in out_cols:
-        if c == "rec_kind":
-            out[c] = pd.Series(np.full(n, kind, dtype=object))
-        elif c in cols:
-            out[c] = pd.Series(cols[c], dtype=object)
+    arrays = []
+    for f in schema:
+        if f.name == "rec_kind":
+            arrays.append(pa.array([kind] * n, type=f.type))
+        elif f.name in cols:
+            arrays.append(pa.array(cols[f.name], type=f.type))
         else:
-            if none_fill is None:
-                none_fill = pd.Series(np.full(n, None, dtype=object))
-            out[c] = none_fill
-    return pd.DataFrame(out)
+            arrays.append(pa.nulls(n, type=f.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
 def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
@@ -91,10 +114,10 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
     never persists request bodies); the ``text`` column is then null and
     n_bytes is computed in Python before the drop."""
 
-    out_cols = RECORD_COLS if emit_text else [*RECORD_COLS, "n_bytes"]
+    out_schema = _pa_schema(extra_n_bytes=not emit_text)
 
     def gen(batches):
-        for pdf in batches:
+        for rb in batches:
             turn_cols = _TURN_COLS if emit_text else (*_TURN_COLS, "n_bytes")
             acc: dict[str, dict[str, list]] = {
                 "turn": {c: [] for c in (*_LINEAGE, *turn_cols)},
@@ -104,14 +127,8 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
                 },
             }
             turn = acc["turn"]
-            inputs = [pdf[c].tolist() for c in _INPUT_COLS]
-            # A null (or uncastable) ts makes Arrow->pandas deliver ts_us
-            # as float64 with NaN; feeding floats/NaN back into the
-            # LongType column would fail the whole batch. Restore
-            # int-or-None per value (only paid when nulls are present).
-            if pdf["ts_us"].dtype.kind == "f":
-                i = _INPUT_COLS.index("ts_us")
-                inputs[i] = [None if v != v else int(v) for v in inputs[i]]
+            names = rb.schema.names
+            inputs = [rb.column(names.index(c)).to_pylist() for c in _INPUT_COLS]
             for conv, ti, role, tool, ts, text in zip(*inputs):
                 p = parse_turn(text, max_text_bytes)
                 turn["conv_id"].append(conv)
@@ -142,7 +159,7 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
                             a[c].append(r[c])
             for kind, cols in acc.items():
                 if cols["conv_id"]:
-                    yield _frame(kind, cols, out_cols)
+                    yield _batch(kind, cols, out_schema)
 
     from pyspark.sql import functions as F
 
@@ -156,7 +173,7 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
     if not emit_text:
         from pyspark.sql.types import LongType, StructField, StructType
         schema = StructType(schema.fields + [StructField("n_bytes", LongType(), True)])
-    out = src.mapInPandas(gen, schema)
+    out = src.mapInArrow(gen, schema)
     # JVM-side restoration/derivation (cheap codegen projections, kept out
     # of the Python hot loop): ts from microseconds, n_bytes from text.
     out = out.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")

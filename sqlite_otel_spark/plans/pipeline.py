@@ -9,7 +9,7 @@ request. Stage map:
                                       input layout is conversation-
                                       clustered; parquet scan splits are
                                       byte-balanced already)
-    Arrow mapInPandas parse          (P1-P11, F1-F7 — one Python pass
+    Arrow mapInArrow parse           (P1-P11, F1-F7 — one Python pass
                                       emitting the flat record stream,
                                       operators/records.py)
     persist()                        (shared upstream of the 3-way fan-out,
