@@ -98,15 +98,18 @@ def timed_pipeline(spark, transcripts_path: str, rep: int) -> float:
     from sqlite_otel_spark.config import PipelineConfig
     from sqlite_otel_spark.plans.pipeline import collect_aggregates, run_pipeline
 
+    from sqlite_otel_spark.operators.aggregates import sink_counts
+
     df = spark.read.parquet(transcripts_path)
     t0 = time.monotonic()
     result = run_pipeline(spark, df, PipelineConfig(), repartition_to=rep,
                           do_salt=True)
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        counts = {n: f for n, f in
-                  ((n, pool.submit(d.count)) for n, d in result.sinks.items())}
+    # two concurrently-submitted jobs total: the 7-sink fused count and
+    # the GROUPING-SETS fused rollup (driver-latency floor, not 11 jobs)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        counts = pool.submit(sink_counts, result.sinks)
         aggs = pool.submit(collect_aggregates, result)
-        counts = {n: f.result() for n, f in counts.items()}
+        counts.result()
         aggs.result()
     wall = time.monotonic() - t0
     result.unpersist()

@@ -31,8 +31,51 @@ def request_accounting(routed: DataFrame, rejects: DataFrame) -> DataFrame:
 
 
 def sink_counts(sinks: dict[str, DataFrame]) -> dict[str, int]:
-    """A2: per-sink row counts — the north-rule count-equality oracle."""
-    return {name: df.count() for name, df in sinks.items()}
+    """A2: per-sink row counts — the north-rule count-equality oracle.
+    ONE Spark action for all seven sinks: the single-row count of each
+    sink unions into one plan, so the scheduler runs the seven branches
+    (all over the shared cached record stream) inside one job instead
+    of paying per-job driver latency 7x — the fixed cost that dominates
+    the post-parse phases at high parallelism."""
+    from functools import reduce
+
+    items = list(sinks.items())
+    counted = reduce(
+        DataFrame.unionByName,
+        [
+            df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(name).alias("sink"), "n"
+            )
+            for name, df in items
+        ],
+    )
+    got = {r.sink: r.n for r in counted.collect()}
+    return {name: got[name] for name, _ in items}
+
+
+def fused_rollup(routed_enriched: DataFrame) -> DataFrame:
+    """A1+A2+A3 in ONE pass: GROUPING SETS ((signal_type),
+    (signal_type, tool), (bucket, signal_type, tool)) over the routed
+    stream — one cache scan + one shuffle materializes all three
+    accounting/rollup granularities (classic OLAP multi-rollup).
+    ``gid`` discriminates the set; callers split rows driver-side.
+    The per-granularity operators remain the correctness surface; this
+    is the production path for materializing them together."""
+    bucketed = routed_enriched.withColumn(
+        "bucket_start", F.window("ts", "1 hour")["start"]
+    )
+    return (
+        bucketed.groupingSets(
+            [["signal_type"], ["signal_type", "tool"],
+             ["bucket_start", "signal_type", "tool"]],
+            "signal_type", "tool", "bucket_start",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.grouping_id().alias("gid"),
+        )
+    )
 
 
 def counts_by_signal_tool(routed: DataFrame) -> DataFrame:

@@ -260,15 +260,41 @@ def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None
 
 
 def collect_aggregates(result: PipelineResult) -> dict[str, list]:
-    """A1-A3 materialization, concurrently submitted (same rationale as
-    write_sinks)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    items = {
-        "accounting": result.accounting,
-        "by_signal_tool": result.by_signal_tool,
-        "by_time_bucket": result.by_time_bucket,
+    """A1-A3 materialization in ONE job: the GROUPING SETS fused rollup
+    (aggregates.fused_rollup — one cache scan + one shuffle for all
+    three granularities) unioned with the tiny rejects aggregate, then
+    split driver-side. Replaces three separately-scheduled collects
+    whose per-job latency barely parallelizes (measured ~15s at
+    local[8] for ~1s of actual work). The individual accounting/
+    by_signal_tool/by_time_bucket DataFrames remain on PipelineResult
+    as the correctness surface (their oracles check values)."""
+    fused = agg.fused_rollup(result.routed)
+    rej = (
+        result.sinks["rejects"]
+        .groupBy("signal_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.lit(999).alias("gid"),
+        )
+    )
+    rows = fused.unionByName(rej, allowMissingColumns=True).collect()
+    # grouping_id bits (groupBy order signal_type, tool, bucket_start):
+    # gid 3 = (signal_type), 1 = (signal_type, tool), 0 = full triple.
+    acc: dict = {}
+    for r in rows:
+        if r.gid == 3:
+            acc.setdefault(r.signal_type, [r.signal_type, 0, 0, 0, 0])[1:3] = [r.n, r.n_bytes or 0]
+        elif r.gid == 999:
+            acc.setdefault(r.signal_type, [r.signal_type, 0, 0, 0, 0])[3:5] = [r.n, r.n_bytes or 0]
+    return {
+        "accounting": [tuple(v) for v in acc.values()],
+        "by_signal_tool": [
+            (r.signal_type, r.tool, r.n) for r in rows if r.gid == 1
+        ],
+        "by_time_bucket": [
+            (r.bucket_start, r.signal_type, r.tool, r.n)
+            for r in rows
+            if r.gid == 0
+        ],
     }
-    with ThreadPoolExecutor(max_workers=len(items)) as pool:
-        futs = {k: pool.submit(df.collect) for k, df in items.items()}
-        return {k: f.result() for k, f in futs.items()}

@@ -112,15 +112,10 @@ def _pipeline(spark: SparkSession):
 )
 def pipeline_sink_counts(spark, sf_dir):
     """A2: per-sink row counts — THE north-rule count-equality check.
-    The seven counts are independent sub-DAGs over the shared cached
-    record stream; submit them concurrently instead of serially."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    One Spark action for all seven sinks (agg.sink_counts unions the
+    seven single-row counts into one job over the shared cache)."""
     res = _pipeline(spark)
-    items = list(res.sinks.items())
-    with ThreadPoolExecutor(max_workers=len(items)) as pool:
-        futs = [(name, pool.submit(df.count)) for name, df in items]
-        rows = [(name, f.result()) for name, f in futs]
+    rows = list(agg.sink_counts(res.sinks).items())
     return spark.createDataFrame(rows, "sink string, n_rows long")
 
 

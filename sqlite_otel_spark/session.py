@@ -36,6 +36,12 @@ def get_spark(
         # Keep parquet scans vectorized and pruned.
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.files.maxPartitionBytes": "128m",
+        # The record-stream cache is write-once/read-few within a run;
+        # per-column compression costs ~15% of the whole pipeline wall
+        # (measured, text-heavy columns) for little benefit at
+        # micro-batch scale. At 100 TB the staging_dir parquet path
+        # replaces the cache entirely.
+        "spark.sql.inMemoryColumnarStorage.compressed": "false",
     }
     # Single-JVM local mode under load: the default 1g heap GC-thrashes
     # with 32 concurrent tasks, and AlwaysPreTouch prepays the (lazily

@@ -193,6 +193,30 @@ def test_cascade_resolution(pipeline_and_oracle):
     assert names == {"X", "Y-late"}
 
 
+def test_fused_rollup_matches_individual_aggregates(spark):
+    """collect_aggregates' one-job GROUPING SETS path must reproduce the
+    three individually-computed aggregate frames exactly."""
+    from sqlite_otel_spark.plans.pipeline import collect_aggregates
+
+    rows = _rows()
+    result = run_pipeline(spark, transcripts_df(spark, rows),
+                          PipelineConfig(max_text_bytes=MAX_BYTES))
+    try:
+        fused = collect_aggregates(result)
+        acc = {tuple(r) for r in result.accounting
+               .filter("signal_type is not null")
+               .select("signal_type", "accepted", "accepted_bytes",
+                       "rejected", "rejected_bytes").collect()}
+        got_acc = {t for t in fused["accounting"] if t[0] is not None}
+        assert got_acc == acc
+        bst = {tuple(r) for r in result.by_signal_tool.collect()}
+        assert set(fused["by_signal_tool"]) == bst
+        btb = {tuple(r) for r in result.by_time_bucket.collect()}
+        assert set(fused["by_time_bucket"]) == btb
+    finally:
+        result.unpersist()
+
+
 def test_emit_text_off_preserves_counts(spark):
     """cfg.emit_text=False (the reference's own never-persist-bodies
     behavior) must not change any sink/accounting result — only the raw
