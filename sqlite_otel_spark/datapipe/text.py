@@ -26,6 +26,15 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+def ws_token_count_col(text: Column) -> Column:
+    """Whitespace tokenizer (the brief's second counting mode): runs of
+    non-whitespace, counted without materializing the array contents."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    ).cast("long")
+
+
 def _occurrences(text: Column, needle: str) -> Column:
     """Count non-overlapping occurrences via the length/replace trick —
     chosen over regexp_count because its semantics are byte-identical
@@ -62,12 +71,18 @@ def lang_id_col(text: Column) -> Column:
     return expr
 
 
+# Stopword inventory for the quality signal (brief: "length/punct/stopword
+# ratios"); counted with the cross-engine space-padding trick.
+STOPWORDS = ["the", "and", "of", "a", "to", "in", "is"]
+
+
 def quality_cols(text: Column) -> dict[str, Column]:
     """Quality-score signals: length, token density, mean token length,
-    non-alnum ratio (punctuation-ish)."""
+    non-alnum ratio (punctuation-ish), stopword ratio."""
     n_chars = F.length(text).cast("long")
     n_tokens = token_count_col(text)
     alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    stop_hits = sum((_occurrences(text, w) for w in STOPWORDS), F.lit(0))
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
@@ -75,6 +90,9 @@ def quality_cols(text: Column) -> dict[str, Column]:
         "mean_token_len": F.round(alnum_chars / F.greatest(n_tokens, F.lit(1)), 4).cast("double"),
         "non_alnum_ratio": F.round(
             (n_chars - alnum_chars) / F.greatest(n_chars, F.lit(1)), 4
+        ).cast("double"),
+        "stopword_ratio": F.round(
+            stop_hits / F.greatest(n_tokens, F.lit(1)), 4
         ).cast("double"),
     }
 

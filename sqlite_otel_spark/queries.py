@@ -933,6 +933,32 @@ def dp_token_count(spark, sf_dir):
     )
 
 
+@q(
+    "dp_token_count_ws",
+    """
+    SELECT lang,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+             AS total_tokens,
+           round(avg(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 4)
+             AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dp_token_count_ws(spark, sf_dir):
+    """Whitespace-tokenizer counting mode (brief: 'whitespace + a
+    BPE-ish regex' — dp_token_count is the regex mode)."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = dtext.ws_token_count_col(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(F.sum(tc).cast("long").alias("total_tokens"),
+             F.round(F.avg(tc), 4).alias("avg_tokens"))
+        .orderBy("lang")
+    )
+
+
 def _occ_sql(needle: str) -> str:
     pad = f"' ' || lower(text) || ' '"
     return (
@@ -972,7 +998,7 @@ def dp_lang_id(spark, sf_dir):
 
 @q(
     "dp_quality_score",
-    """
+    f"""
     SELECT doc_id,
            strlen(text) AS n_chars,
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
@@ -982,7 +1008,10 @@ def dp_lang_id(spark, sf_dir):
                  / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
              AS mean_token_len,
            round((strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
-                 / greatest(strlen(text), 1), 4) AS non_alnum_ratio
+                 / greatest(strlen(text), 1), 4) AS non_alnum_ratio,
+           round(({" + ".join(_occ_sql(w) for w in ["the", "and", "of", "a", "to", "in", "is"])})
+                 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
+             AS stopword_ratio
     FROM documents ORDER BY doc_id
     """,
 )
