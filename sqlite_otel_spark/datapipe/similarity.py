@@ -96,10 +96,14 @@ def ivf_centroid(dim: int, c: int) -> list[float]:
     return hyperplane(dim, 4096 + c)
 
 
-def ivf_cells_col(vec: Column, dim: int, k_cells: int, nprobe: int) -> Column:
+def ivf_cells_col(vec: Column, dim: int, k_cells: int, nprobe: int,
+                  codebook: list[list[float]] | None = None) -> Column:
     """Top-``nprobe`` IVF cells of a vector: the codebook directions with
     the largest dot products. Lexicographic sort on (-dot, cell) makes
-    the ranking identical across engines."""
+    the ranking identical across engines. ``codebook`` overrides the
+    seeded directions (e.g. with trained k-means centroids)."""
+    if codebook is None:
+        codebook = [ivf_centroid(dim, c) for c in range(k_cells)]
     scored = F.array(*[
         F.struct(
             (-sum(
@@ -109,31 +113,80 @@ def ivf_cells_col(vec: Column, dim: int, k_cells: int, nprobe: int) -> Column:
             )).alias("negdot"),
             F.lit(c).alias("cell"),
         )
-        for c, comp in ((c, ivf_centroid(dim, c)) for c in range(k_cells))
+        for c, comp in enumerate(codebook)
     ])
     return F.transform(
         F.slice(F.sort_array(scored), 1, nprobe), lambda s: s["cell"]
     )
 
 
+def train_ivf_codebook(
+    vectors: DataFrame, dim: int, k_cells: int = 8, n_iter: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) codebook, trained distributedly:
+    assignment is the same argmax-dot expression the query path uses
+    (codegen, JVM-side); the update step is posexplode -> groupBy(cell,
+    pos) avg — one shuffle of k_cells x dim partial sums per iteration —
+    then the (tiny) k x dim result collects to the driver, is unit-
+    normalized, and broadcasts into the next iteration's literals.
+    Deterministic: init is the seeded ivf_centroid family, data order
+    never matters (avg is the only reduction). At real scale this runs
+    on a sample; the resulting codebook is plain literals, exactly like
+    the untrained one, so the query plan shape is identical."""
+    import math
+
+    codebook = [ivf_centroid(dim, c) for c in range(k_cells)]
+    for _ in range(n_iter):
+        assigned = vectors.select(
+            F.element_at(
+                ivf_cells_col(F.col(vec_col), dim, k_cells, 1, codebook), 1
+            ).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        for r in rows:
+            sums.setdefault(r.cell, [0.0] * dim)[r.pos] = r.m
+        new_book = []
+        for c in range(k_cells):
+            if c not in sums:  # empty cell keeps its direction
+                new_book.append(codebook[c])
+                continue
+            v = sums[c]
+            norm = math.sqrt(sum(x * x for x in v)) or 1.0
+            new_book.append([x / norm for x in v])
+        codebook = new_book
+    return codebook
+
+
 def ivf_topk(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     k_cells: int = 8, nprobe: int = 2, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: vectors live in their single best cell
-    (coarse quantization by a deterministic random codebook — at real
-    scale you'd train k-means centroids and broadcast them, the plan
-    shape is identical); queries probe their ``nprobe`` best cells, so
+    (coarse quantization); queries probe their ``nprobe`` best cells, so
     candidate generation is an equi-join on cell id instead of the cross
-    product, then exact cosine rerank."""
+    product, then exact cosine rerank. ``codebook=None`` uses the seeded
+    deterministic directions (DuckDB-reproducible for the oracle gate);
+    pass ``train_ivf_codebook(...)`` output for the trained-k-means
+    variant — the plan shape is identical either way."""
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
-        F.element_at(ivf_cells_col(F.col(vec_col), dim, k_cells, 1), 1).alias("cell"),
+        F.element_at(
+            ivf_cells_col(F.col(vec_col), dim, k_cells, 1, codebook), 1
+        ).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(ivf_cells_col(F.col(vec_col), dim, k_cells, nprobe)).alias("cell"),
+        F.explode(
+            ivf_cells_col(F.col(vec_col), dim, k_cells, nprobe, codebook)
+        ).alias("cell"),
     )
     cand = (
         q.join(v, "cell")

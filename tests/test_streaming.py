@@ -78,6 +78,67 @@ def test_max_bytes_per_trigger_admission(spark, stream_dirs, tmp_path):
     assert got == {k: want[k] for k in got}
 
 
+def test_stateful_dedup_matches_sequential(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: first-seen
+    span-PK dedup across micro-batches must equal a sequential
+    first-seen scan over the files in ingestion order."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from sqlite_otel_spark.streaming.stateful import dedup_span_keys_stateful
+
+    schema = pa_.schema([
+        ("conv_id", pa_.string()), ("turn_idx", pa_.int32()),
+        ("trace_id", pa_.string()), ("span_id", pa_.string()),
+    ])
+    # duplicates within a batch, across batches, and fresh keys per batch
+    batches = [
+        [("c0", 0, "t1", "s1"), ("c0", 1, "t1", "s1"), ("c0", 2, "t2", "s1")],
+        [("c1", 0, "t1", "s1"), ("c1", 1, "t3", "s1"), ("c1", 2, "t2", "s1")],
+        [("c2", 0, "t3", "s1"), ("c2", 1, "t4", "s9")],
+    ]
+    in_dir = tmp_path / "keys_in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        pq_.write_table(
+            pa_.Table.from_pylist(
+                [dict(zip(("conv_id", "turn_idx", "trace_id", "span_id"), r))
+                 for r in rows],
+                schema=schema,
+            ),
+            str(in_dir / f"part-{i:03d}.parquet"),
+        )
+
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, trace_id string, span_id string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        dedup_span_keys_stateful(src)
+        .writeStream.format("memory").queryName("dedup_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.turn_idx, r.trace_id, r.span_id)
+        for r in spark.sql("SELECT * FROM dedup_state").collect()
+    }
+    seen, want = set(), set()
+    for rows in batches:
+        for r in rows:
+            pk = (r[2], r[3])
+            if pk not in seen:
+                seen.add(pk)
+                want.add(r)
+    assert got == want
+
+
 def test_windowed_counts_with_watermark(spark, stream_dirs):
     rows, input_dir, _ = stream_dirs
     sdf = st.windowed_counts(spark, input_dir, watermark="10 minutes", bucket="1 hour")
