@@ -110,14 +110,32 @@ def md5hash60(col, salt: int | None = None):
     return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
 
 
+_MOD60 = 1 << 60
+
+
+def km_hash_cols(col, num_perm: int) -> list:
+    """Kirsch-Mitzenmacher hash family: h_i = (h1 + i*h2) mod 2^60 from
+    TWO base md5 hashes instead of one md5 per permutation (the standard
+    construction for MinHash families; preserves the min-wise estimate).
+    i*h2 reaches 2^66, so the arithmetic runs in DECIMAL(38,0) — exact
+    in Spark, and DuckDB reproduces it with HUGEINT. Cuts the md5 count
+    per shingle from num_perm to 2 (~10x on the LSH oracle queries)."""
+    h1 = md5hash60(col).cast("decimal(38,0)")
+    h2 = md5hash60(F.concat(col, F.lit("#"))).cast("decimal(38,0)")
+    return [
+        ((h1 + F.lit(i) * h2) % F.lit(_MOD60)).cast("long").alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+
+
 def minhash_signatures(sh: DataFrame, num_perm: int = 64,
                        hash_fn: str = "xxhash64") -> DataFrame:
     """P permutation minima as agg columns over one shuffle:
     h_i(doc) = min over shingles of hash(shingle, i)."""
     if hash_fn == "md5":
         aggs = [
-            F.min(md5hash60(F.col("shingle"), i)).alias(f"h{i}")
-            for i in range(num_perm)
+            F.min(h).alias(f"h{i}")
+            for i, h in enumerate(km_hash_cols(F.col("shingle"), num_perm))
         ]
     else:
         aggs = [

@@ -1050,10 +1050,20 @@ def _md5num(expr: str) -> str:
 
 def _minhash_lsh_sql(num_perm: int = 64, bands: int = 16, rows: int = 4,
                      threshold: float = 0.6) -> str:
+    # Kirsch-Mitzenmacher family matching dedup.km_hash_cols:
+    # h_i = (h1 + i*h2) mod 2^60 in exact 128-bit arithmetic.
+    mod60 = 1 << 60
     mins = ",\n             ".join(
-        "min({h}) AS h{i}".format(h=_md5num("shingle || '#%d'" % i), i=i)
+        f"min(CAST((h1 + {i} * h2) % {mod60} AS BIGINT)) AS h{i}"
         for i in range(num_perm)
     )
+    km_cte = f"""
+    shh AS (
+      SELECT doc_id, shingle,
+             CAST({_md5num('shingle')} AS HUGEINT) AS h1,
+             CAST({_md5num("shingle || '#'")} AS HUGEINT) AS h2
+      FROM sh
+    )"""
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
             b=b,
@@ -1064,10 +1074,10 @@ def _minhash_lsh_sql(num_perm: int = 64, bands: int = 16, rows: int = 4,
         for b in range(bands)
     )
     return f"""
-    WITH {_SHINGLE_CTE},
+    WITH {_SHINGLE_CTE},{km_cte},
     sig AS (
       SELECT doc_id, {mins}
-      FROM sh GROUP BY doc_id
+      FROM shh GROUP BY doc_id
     ),
     banded AS (
       {band_selects}
