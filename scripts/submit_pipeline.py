@@ -49,11 +49,12 @@ def main() -> None:
                                   run_id=args.run_id)
         n = transcripts.count()
     else:
+        from sqlite_otel_spark.operators.aggregates import sink_counts
         from sqlite_otel_spark.plans.pipeline import run_pipeline, write_sinks
 
         result = run_pipeline(spark, transcripts, cfg)
         write_sinks(result, args.output)
-        status = {"sinks": {k: v.count() for k, v in result.sinks.items()}}
+        status = {"sinks": sink_counts(result.sinks)}
         n = transcripts.count()
     wall = time.monotonic() - t0
     print(json.dumps({

@@ -52,6 +52,18 @@ def test_derive_cap_scales_with_target(spark):
     assert derive_max_records_per_file(df.limit(0), 64 * 1024, "snappy") == 1
 
 
+def test_gzip_compression_codec(spark, tmp_path):
+    """C11: the reference gzips rotated files (logging/rotation.go:
+    198-222); the sink analogue is the parquet codec option — files
+    carry the codec marker and read back identically."""
+    cfg = PipelineConfig(compression="gzip")
+    df = _payload_df(spark, 500)
+    write_sinks(_result_with(df), str(tmp_path), cfg)
+    files = glob.glob(str(tmp_path / "t" / "*.parquet"))
+    assert files and all(".gz.parquet" in f for f in files)
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 500
+
+
 def test_iceberg_format_falls_back_to_parquet(spark, tmp_path):
     """No Iceberg catalog in-sandbox: the writeTo branch must fail
     gracefully into a parquet sink with identical rows."""
