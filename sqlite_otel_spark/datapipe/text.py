@@ -98,8 +98,30 @@ def quality_cols(text: Column) -> dict[str, Column]:
 
 
 def fingerprint_col(text: Column) -> Column:
-    """Document fingerprint: md5 of whitespace-normalized lowercase text.
-    (md5 rather than a custom rolling hash so the DuckDB oracle can
-    reproduce it bit-for-bit; a rolling/Rabin variant lives in
-    datapipe/dedup.simhash where cross-engine parity isn't required.)"""
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (bit-for-bit reproducible in the DuckDB oracle)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
+
+
+ROLLING_M = 1099511627689  # 40-bit prime: acc*31 + code < 2^46, no overflow
+
+
+def rolling_fingerprint_col(text: Column) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling hash of the raw text:
+    h = fold(h*31 + codepoint) mod ROLLING_M — the brief's 'rolling
+    hash' fingerprint, computed with JVM higher-order functions (one
+    fold per document, no Python) and reproduced exactly by DuckDB's
+    list_reduce (its first-element-as-init semantics coincide with a
+    0-init fold because 0*31 + c0 == c0). Empty/char-split edge cases
+    are normalized on both engines by filtering empty splits."""
+    codes = F.transform(
+        F.filter(F.split(text, ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.when(F.size(codes) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + c) % F.lit(ROLLING_M),
+        )
+    )

@@ -934,6 +934,30 @@ def dp_token_count(spark, sf_dir):
 
 
 @q(
+    "dp_fingerprint_rolling",
+    """
+    SELECT doc_id,
+           CASE WHEN len(list_filter(split(text, ''), c -> c <> '')) = 0 THEN 0
+                ELSE list_reduce(
+                       list_transform(list_filter(split(text, ''), c -> c <> ''),
+                                      c -> CAST(ascii(c) AS BIGINT)),
+                       (acc, c) -> (acc * 31 + c) % 1099511627689)
+           END AS rolling_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dp_fingerprint_rolling(spark, sf_dir):
+    """Rolling-hash document fingerprint (brief: 'document
+    fingerprinting (rolling hash)'): one JVM fold per document; the
+    DuckDB oracle recomputes every hash with identical int64
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dtext.rolling_fingerprint_col(F.col("text")).alias("rolling_fp")
+    ).orderBy("doc_id")
+
+
+@q(
     "dp_token_count_ws",
     """
     SELECT lang,
