@@ -109,26 +109,31 @@ def test_stateful_dedup_matches_sequential(spark, tmp_path):
             str(in_dir / f"part-{i:03d}.parquet"),
         )
 
-    src = (
-        spark.readStream.schema(
-            "conv_id string, turn_idx int, trace_id string, span_id string"
+    out_dir = str(tmp_path / "dedup_out")
+
+    def run_stream():
+        # durable (parquet) sink: memory sinks cannot recover from a
+        # checkpoint, and recovery is exactly what the restart asserts
+        q = (
+            dedup_span_keys_stateful(
+                spark.readStream.schema(
+                    "conv_id string, turn_idx int, trace_id string, span_id string"
+                ).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(in_dir))
-    )
-    q = (
-        dedup_span_keys_stateful(src)
-        .writeStream.format("memory").queryName("dedup_state")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    got = {
-        (r.conv_id, r.turn_idx, r.trace_id, r.span_id)
-        for r in spark.sql("SELECT * FROM dedup_state").collect()
-    }
+        q.awaitTermination(300)
+        return {
+            (r.conv_id, r.turn_idx, r.trace_id, r.span_id)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got = run_stream()
     seen, want = set(), set()
     for rows in batches:
         for r in rows:
@@ -137,6 +142,19 @@ def test_stateful_dedup_matches_sequential(spark, tmp_path):
                 seen.add(pk)
                 want.add(r)
     assert got == want
+
+    # restart durability: state recovers from the checkpoint — a new
+    # file replaying old PKs plus one fresh PK emits ONLY the fresh one
+    pq_.write_table(
+        pa_.Table.from_pylist(
+            [dict(zip(("conv_id", "turn_idx", "trace_id", "span_id"), r))
+             for r in [("c3", 0, "t1", "s1"), ("c3", 1, "t9", "s9")]],
+            schema=schema,
+        ),
+        str(in_dir / "part-003.parquet"),
+    )
+    got2 = run_stream()
+    assert got2 == want | {("c3", 1, "t9", "s9")}
 
 
 def test_windowed_counts_with_watermark(spark, stream_dirs):
