@@ -170,16 +170,17 @@ def main() -> None:
             log(f"{master} run{i}: {w:.2f}s ({n_turns/w:,.0f} turns/s)")
         return spark, min(walls)
 
-    sparkN, wallN = level(f"local[{CPUS}]", CPUS, 2 * CPUS, k=3, warmup=True)
+    sparkN, wallN = level(f"local[{CPUS}]", CPUS, 2 * CPUS, k=2, warmup=True)
     log("== sink write wall (full parallelism) ==")
     write_wall = timed_writes(sparkN, transcripts_path, 2 * CPUS)
     log(f"sink writes: {write_wall:.2f}s")
     log("== query timings ==")
     queries = {"pipeline_e2e": round(wallN, 3), **time_queries(sparkN)}
 
-    # min-of-3 on the cheap levels: the host's one-sided noise can tank a
-    # single run by 2x (BENCH/SCALING.md — steal bursts), and a tanked
-    # level corrupts the efficiency ratio in either direction
+    # min-of-3 at local[8]: the host's one-sided noise can tank a single
+    # run by 2x (BENCH/SCALING.md — steal bursts), and a tanked level
+    # corrupts the N->4N efficiency ratio in either direction; the other
+    # levels stay at k=2 to bound total bench wall time
     _, wall8 = level("local[8]", 8, 16, k=3)
     _, wall2 = level("local[2]", 2, 4, k=2)
 
