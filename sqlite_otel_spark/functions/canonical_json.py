@@ -157,9 +157,18 @@ def canonical_dumps(obj: Any) -> str:
     The hot path (this is >half of parse-stage CPU) is C-side
     orjson.dumps whenever the tree is in the byte-exactness-proven
     domain; anything risky falls back to the stdlib reference path."""
+    s = None
     if _orjson is not None and _orjson_exact(obj):
-        s = _orjson.dumps(obj, option=_ORJSON_OPTS).decode("utf-8")
-    else:
+        try:
+            s = _orjson.dumps(obj, option=_ORJSON_OPTS).decode("utf-8")
+        except TypeError:
+            # orjson rejects strs containing lone surrogates (reachable:
+            # the stdlib DECODER accepts a \ud800 escape that orjson's
+            # decoder rejected, so the str arrives here) — fall through
+            # to the stdlib reference path, honoring the documented
+            # "risky inputs fall back" contract (ADVICE r2 #1).
+            s = None
+    if s is None:
         s = json.dumps(
             _normalize(obj),
             sort_keys=True,

@@ -169,9 +169,19 @@ def run_pipeline(
     )
 
 
+# Spark codec names -> pyarrow codec names for the row-width probe.
+# Spark-legal names pyarrow doesn't know ('uncompressed', 'lz4_raw',
+# 'lz4raw') would raise inside pyarrow.parquet.write_table (ADVICE r2 #3).
+_PYARROW_CODEC = {
+    "uncompressed": "none", "none": "none", "snappy": "snappy",
+    "gzip": "gzip", "zstd": "zstd", "lz4": "lz4", "lz4_raw": "lz4",
+    "lz4raw": "lz4", "brotli": "brotli",
+}
+
+
 def derive_max_records_per_file(
     df: DataFrame, target_bytes: int, compression: str, sample_rows: int = 4096
-) -> int:
+) -> int | None:
     """A4 size-based rotation analogue (logging/rotation.go:34-46 rotates
     the log when file size >= MaxSize): derive a records-per-file cap
     from the MEASURED parquet-encoded width of a bounded row sample —
@@ -185,14 +195,38 @@ def derive_max_records_per_file(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    pa_codec = _PYARROW_CODEC.get(compression.lower())
+    if pa_codec is None:
+        return None  # unknown codec: caller falls back to the static cap
     sample = df.limit(sample_rows).toPandas()
     if len(sample) == 0:
         return 1
     buf = io.BytesIO()
     pq.write_table(pa.Table.from_pandas(sample, preserve_index=False), buf,
-                   compression=compression)
+                   compression=pa_codec)
     bytes_per_row = max(1.0, buf.tell() / len(sample))
     return max(1, int(target_bytes / bytes_per_row))
+
+
+def _is_catalog_missing(e: Exception) -> bool:
+    """True when an Iceberg ``writeTo`` failed because no Iceberg catalog
+    is configured/resolvable (analysis-time), as opposed to a genuine
+    write/commit failure (execution-time)."""
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException):
+            return True
+    except ImportError:  # pragma: no cover
+        pass
+    msg = str(e)
+    markers = (
+        "CATALOG_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND", "UnresolvedRelation",
+        "is not a valid Spark catalog", "Cannot find catalog plugin",
+        "DATA_SOURCE_NOT_FOUND", "Failed to find the data source: iceberg",
+        "Multiple sources found for iceberg",
+    )
+    return any(m in msg for m in markers)
 
 
 def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None = None) -> None:
@@ -222,11 +256,12 @@ def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None
 
     def write_one(item):
         name, df = item
+        per_file = None
         if cfg.target_file_bytes is not None:
             per_file = derive_max_records_per_file(
                 df, cfg.target_file_bytes, cfg.compression
             )
-        else:
+        if per_file is None:
             per_file = cfg.max_records_per_file
         if cfg.table_format == "iceberg":
             try:
@@ -240,6 +275,13 @@ def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None
                 )
                 return
             except Exception as e:
+                # Fall back to parquet ONLY for catalog-resolution
+                # failures (no Iceberg jars/catalog configured — the
+                # sandbox case). A genuine snapshot-commit failure on a
+                # configured catalog must surface, or the atomic-commit
+                # contract silently degrades (ADVICE r2 #2).
+                if not _is_catalog_missing(e):
+                    raise
                 import warnings
 
                 warnings.warn(

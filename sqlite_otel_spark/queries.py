@@ -983,12 +983,14 @@ def dp_token_count_ws(spark, sf_dir):
     )
 
 
+# Token-based needle counting (round-3 one-pass semantics — the Spark
+# side filters one shared token array per row; this is its exact DuckDB
+# twin, same regex, same equality).
+_TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
 def _occ_sql(needle: str) -> str:
-    pad = f"' ' || lower(text) || ' '"
-    return (
-        f"CAST((strlen({pad}) - strlen(replace({pad}, ' {needle} ', ''))) "
-        f"/ {len(needle) + 2} AS BIGINT)"
-    )
+    return f"CAST(len(list_filter({_TOKENS_SQL}, t -> t = '{needle}')) AS BIGINT)"
 
 
 @q(
@@ -1012,9 +1014,14 @@ def _occ_sql(needle: str) -> str:
     """,
 )
 def dp_lang_id(spark, sf_dir):
+    """One-pass form: the token array materializes once (__tokens) and
+    every marker count filters it — a single regexp tokenization per
+    document instead of one replace-scan per marker."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(dtext.lang_id_col(F.col("text")).alias("predicted_lang"))
+        docs.withColumn("__tokens", dtext.tokens_col(F.col("text")))
+        .select(dtext.lang_id_col(F.col("text"), F.col("__tokens"))
+                .alias("predicted_lang"))
         .groupBy("predicted_lang").agg(F.count(F.lit(1)).alias("n"))
         .orderBy("predicted_lang")
     )
@@ -1025,26 +1032,30 @@ def dp_lang_id(spark, sf_dir):
     f"""
     SELECT doc_id,
            strlen(text) AS n_chars,
-           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
-           round(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           round(len({_TOKENS_SQL})
                  / greatest(strlen(text), 1), 4) AS token_density,
-           round(strlen(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
+           round(coalesce(list_sum(list_transform({_TOKENS_SQL}, t -> strlen(t))), 0)
+                 / greatest(len({_TOKENS_SQL}), 1), 4)
              AS mean_token_len,
-           round((strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+           round((strlen(text) - coalesce(list_sum(list_transform({_TOKENS_SQL}, t -> strlen(t))), 0))
                  / greatest(strlen(text), 1), 4) AS non_alnum_ratio,
            round(({" + ".join(_occ_sql(w) for w in ["the", "and", "of", "a", "to", "in", "is"])})
-                 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
+                 / greatest(len({_TOKENS_SQL}), 1), 4)
              AS stopword_ratio
     FROM documents ORDER BY doc_id
     """,
 )
 def dp_quality_score(spark, sf_dir):
+    """One-pass form: all five signals derive from one shared __tokens
+    materialization (plan-asserted single tokenization)."""
     docs = _t(spark, sf_dir, "documents")
-    cols = dtext.quality_cols(F.col("text"))
-    return docs.select(
-        "doc_id", *[c.alias(name) for name, c in cols.items()]
-    ).orderBy("doc_id")
+    cols = dtext.quality_cols(F.col("text"), F.col("__tokens"))
+    return (
+        docs.withColumn("__tokens", dtext.tokens_col(F.col("text")))
+        .select("doc_id", *[c.alias(name) for name, c in cols.items()])
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1519,3 +1530,175 @@ def dp_frame_sample(spark, sf_dir):
     return mm.frame_sample(mm.to_media(docs), every_n_bytes=64).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# ===========================================================================
+# Operational-surface entries (round 3): A4 / A6 / S6 / C11, so every
+# SURVEY §2 ID has a queries()+oracle CORRECTNESS row (VERDICT r2
+# "What's missing" #2). Each materializes its (small) result driver-side
+# before tearing down its temp dir, so the returned DataFrame is inert.
+# ===========================================================================
+
+
+@q(
+    "s6_health_check",
+    """
+    SELECT 'ok' AS status, CAST(1 AS BIGINT) AS ok,
+           CAST(6 AS BIGINT) AS n_contract_cols
+    """,
+)
+def s6_health_check(spark, sf_dir):
+    """S6: the GET /health probe analogue (main.go:124-137) — proves the
+    session schedules a trivial job and the source contract (the
+    BASELINE.json input_hint's six columns) resolves."""
+    from sqlite_otel_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA as SRC_SCHEMA,
+        health_check,
+    )
+
+    ok = health_check(spark)
+    return spark.createDataFrame(
+        [("ok" if ok else "down", int(ok), len(SRC_SCHEMA.fields))],
+        "status string, ok bigint, n_contract_cols bigint",
+    )
+
+
+@q(
+    "a4_rotation_file_count",
+    """
+    SELECT * FROM (VALUES ('t', CAST(5 AS BIGINT), CAST(1000 AS BIGINT)))
+      AS t(sink, n_files, n_rows)
+    """,
+)
+def a4_rotation_file_count(spark, sf_dir):
+    """A4 size-based rotation (logging/rotation.go:34-46 rotates at >=
+    MaxSize): a 1000-row single-partition sink under a 200-records-per-
+    file cap must land as exactly ceil(1000/200) = 5 parquet files with
+    all rows readable back. (The measured-byte-width derivation of the
+    cap is covered by test_sink_format.py; the file-splitting contract
+    itself is what this entry pins.)"""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sqlite_otel_spark.plans.pipeline import PipelineResult, write_sinks
+
+    df = (
+        spark.range(1000)
+        .select("id", F.md5(F.col("id").cast("string")).alias("payload"))
+        .coalesce(1)
+    )
+    out = _tempfile.mkdtemp(prefix="a4_rotation_")
+    try:
+        write_sinks(
+            PipelineResult(sinks={"t": df}, routed=None, accounting=None,
+                           by_signal_tool=None, by_time_bucket=None),
+            out,
+            PipelineConfig(max_records_per_file=200),
+        )
+        files = _glob.glob(f"{out}/t/*.parquet")
+        n_rows = spark.read.parquet(f"{out}/t").count()
+        return spark.createDataFrame(
+            [("t", len(files), n_rows)],
+            "sink string, n_files long, n_rows long",
+        )
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
+@q(
+    "c11_compression_codecs",
+    """
+    SELECT * FROM (VALUES
+        ('gzip',   CAST(400 AS BIGINT), CAST(400 AS BIGINT), TRUE),
+        ('snappy', CAST(400 AS BIGINT), CAST(400 AS BIGINT), TRUE),
+        ('zstd',   CAST(400 AS BIGINT), CAST(400 AS BIGINT), TRUE)
+    ) AS t(codec, n_rows, n_distinct, ext_ok) ORDER BY codec
+    """,
+)
+def c11_compression_codecs(spark, sf_dir):
+    """C11 compression (logging/rotation.go:198-222 gzips rotated files):
+    each supported sink codec round-trips 400 deterministic rows —
+    files carry the codec's extension marker and read back with every
+    distinct payload intact."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sqlite_otel_spark.plans.pipeline import PipelineResult, write_sinks
+
+    df = spark.range(400).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    rows = []
+    for codec, ext in (("gzip", ".gz.parquet"), ("snappy", ".snappy.parquet"),
+                       ("zstd", ".zstd.parquet")):
+        out = _tempfile.mkdtemp(prefix=f"c11_{codec}_")
+        try:
+            write_sinks(
+                PipelineResult(sinks={"t": df}, routed=None, accounting=None,
+                               by_signal_tool=None, by_time_bucket=None),
+                out,
+                PipelineConfig(compression=codec),
+            )
+            files = _glob.glob(f"{out}/t/*.parquet")
+            back = spark.read.parquet(f"{out}/t")
+            rows.append((
+                codec,
+                back.count(),
+                back.select("payload").distinct().count(),
+                bool(files) and all(ext in f for f in files),
+            ))
+        finally:
+            _shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "codec string, n_rows long, n_distinct long, ext_ok boolean",
+    )
+
+
+# Golden per-bucket manifest rows for a6_run_manifest (fixture n=400
+# seed=7, 4 buckets; regenerate with scripts/regen_goldens.py --a6).
+_A6_GOLDEN = """
+    SELECT * FROM (VALUES
+        (0, 'run-a6', CAST(94 AS BIGINT), CAST(167 AS BIGINT), CAST(35 AS BIGINT), CAST(0 AS BIGINT)),
+        (1, 'run-a6', CAST(52 AS BIGINT), CAST(114 AS BIGINT), CAST(44 AS BIGINT), CAST(0 AS BIGINT)),
+        (2, 'run-a6', CAST(45 AS BIGINT), CAST(109 AS BIGINT), CAST(44 AS BIGINT), CAST(1 AS BIGINT)),
+        (3, 'run-a6', CAST(51 AS BIGINT), CAST(82 AS BIGINT), CAST(37 AS BIGINT), CAST(15 AS BIGINT))
+    ) AS t(bucket, run_id, n_spans, n_log_records, n_metric_data_points, n_rejects)
+    ORDER BY bucket
+    """
+
+
+@q("a6_run_manifest", _A6_GOLDEN)
+def a6_run_manifest(spark, sf_dir):
+    """A6 run metadata (logging/logger.go:131-143 execution-log
+    accounting; SURVEY §2.7): a checkpointed run writes one manifest
+    (lineage) row per input bucket with per-sink row counts; the rows
+    ARE the resume ledger (plans/checkpoint.py). Deterministic fixture
+    -> deterministic per-bucket counts, cross-checked against the
+    sequential reference-semantics oracle by scripts/regen_goldens.py."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sqlite_otel_spark.plans.checkpoint import read_manifest, run_checkpointed
+
+    df = _utc(spark).createDataFrame(
+        make_transcripts(400, seed=7), schema=TRANSCRIPT_SCHEMA
+    )
+    out = _tempfile.mkdtemp(prefix="a6_manifest_")
+    try:
+        run_checkpointed(spark, df, out, PipelineConfig(checkpoint_buckets=4),
+                         run_id="run-a6")
+        rows = sorted(
+            (r.bucket, r.run_id, r.n_spans, r.n_log_records,
+             r.n_metric_data_points, r.n_rejects)
+            for r in read_manifest(spark, out).collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "bucket int, run_id string, n_spans long, n_log_records long, "
+            "n_metric_data_points long, n_rejects long",
+        )
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)

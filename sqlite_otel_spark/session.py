@@ -51,9 +51,21 @@ def get_spark(
     # effect on the FIRST JVM launch in a process, and an unconditional
     # 12g would fail outright on small hosts / tiny test sessions.
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    # -Xss16m on every JVM thread: the round-2 driver bench died rc=1 in
+    # a StackOverflow-style java.io.ObjectInputStream recursion while
+    # deserializing a task/broadcast object graph (BENCH_r02.json tail).
+    # Java's default ~1m thread stack is marginal for deeply nested
+    # graphs; 16m stacks cost only reserved virtual memory. Set for the
+    # driver (which in local mode also hosts executor task threads) and
+    # executors (no-op locally, applies on a real cluster). Only takes
+    # effect on the first JVM launch in a process — bench.py therefore
+    # runs each level in a fresh subprocess.
+    driver_opts = "-Xss16m"
     if driver_mem:
         conf["spark.driver.memory"] = driver_mem
-        conf["spark.driver.extraJavaOptions"] = "-XX:+AlwaysPreTouch"
+        driver_opts += " -XX:+AlwaysPreTouch"
+    conf["spark.driver.extraJavaOptions"] = driver_opts
+    conf["spark.executor.extraJavaOptions"] = "-Xss16m"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

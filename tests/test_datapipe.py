@@ -255,3 +255,33 @@ def test_exact_duplicates(spark, docs):
     groups = dd.exact_duplicates(twice).collect()
     assert len(groups) == 3
     assert all(g.n_docs == 2 for g in groups)
+
+
+def test_text_stats_single_tokenization_pass(spark, docs):
+    """Round-3 one-pass text kernel: lang-ID (9 markers) + quality
+    (7 stopwords + 3 derived stats) over a shared materialized token
+    array must keep exactly ONE regexp tokenization in the optimized
+    plan (the old form scanned the full text once per needle), and the
+    token-filter counts must match a pure-Python recount."""
+    from sqlite_otel_spark.datapipe import text as dtext
+
+    base = docs.withColumn("__tokens", dtext.tokens_col(F.col("text")))
+    qcols = dtext.quality_cols(F.col("text"), F.col("__tokens"))
+    df = base.select(
+        "doc_id",
+        dtext.lang_id_col(F.col("text"), F.col("__tokens")).alias("lang_pred"),
+        *[c.alias(n) for n, c in qcols.items()],
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1
+
+    got = {r.doc_id: r for r in df.filter(F.col("doc_id") < 20).collect()}
+    for r in docs.filter(F.col("doc_id") < 20).collect():
+        toks = _python_tokens(r.text)
+        g = got[r.doc_id]
+        assert g.n_tokens == len(toks)
+        stop = sum(1 for t in toks if t in {"the", "and", "of", "a", "to", "in", "is"})
+        assert g.stopword_ratio == pytest.approx(
+            round(stop / max(len(toks), 1), 4))
+        assert g.mean_token_len == pytest.approx(
+            round(sum(map(len, toks)) / max(len(toks), 1), 4))

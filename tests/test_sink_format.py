@@ -52,6 +52,23 @@ def test_derive_cap_scales_with_target(spark):
     assert derive_max_records_per_file(df.limit(0), 64 * 1024, "snappy") == 1
 
 
+def test_derive_cap_codec_mapping(spark, tmp_path):
+    """Spark-legal codec names that pyarrow spells differently (or not at
+    all) must not break the rotation probe: 'uncompressed' maps to
+    pyarrow 'none'; an unknown codec returns None so write_sinks falls
+    back to the static max_records_per_file cap (ADVICE r2 #3)."""
+    df = _payload_df(spark, 2_000)
+    assert derive_max_records_per_file(df, 64 * 1024, "uncompressed") > 0
+    assert derive_max_records_per_file(df, 64 * 1024, "lzo") is None
+    # end-to-end: unknown codec + target_file_bytes -> static cap applies
+    cfg = PipelineConfig(target_file_bytes=64 * 1024, compression="snappy",
+                         max_records_per_file=500)
+    cfg2 = PipelineConfig(target_file_bytes=64 * 1024,
+                          compression="uncompressed")
+    write_sinks(_result_with(df.coalesce(1)), str(tmp_path / "u"), cfg2)
+    assert spark.read.parquet(str(tmp_path / "u" / "t")).count() == 2_000
+
+
 def test_gzip_compression_codec(spark, tmp_path):
     """C11: the reference gzips rotated files (logging/rotation.go:
     198-222); the sink analogue is the parquet codec option — files

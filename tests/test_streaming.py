@@ -156,6 +156,20 @@ def test_stateful_dedup_matches_sequential(spark, tmp_path):
     got2 = run_stream()
     assert got2 == want | {("c3", 1, "t9", "s9")}
 
+    # per-key O(1) state (round-3 redesign): the state store must hold
+    # exactly ONE row per distinct PK whose value is a single boolean —
+    # replays of already-seen PKs add no state, and no value grows with
+    # history (the reference's per-row unique index, database/db.go:153).
+    state = spark.read.format("statestore").load(str(tmp_path / "ckpt"))
+    rows = state.select(
+        "key.trace_id", "key.span_id",
+        F.col("value.groupState.emitted").alias("emitted"),
+    ).collect()
+    distinct_pks = {(r[2], r[3]) for rows_ in batches for r in rows_} | {("t1", "s1"), ("t9", "s9")}
+    assert {(r.trace_id, r.span_id) for r in rows} == distinct_pks
+    assert all(r.emitted is True for r in rows)
+    assert len(rows) == len(distinct_pks)
+
 
 def test_windowed_counts_with_watermark(spark, stream_dirs):
     rows, input_dir, _ = stream_dirs
