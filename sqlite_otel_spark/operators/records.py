@@ -54,7 +54,7 @@ from sqlite_otel_spark.functions.parse import (
     parse_turn,
 )
 
-_INPUT_COLS = ("conv_id", "turn_idx", "role", "tool", "ts_us", "text")
+_INPUT_COLS = ("conv_id", "turn_idx", "role", "tool", "ts_us", "text", "nb")
 _LINEAGE = ["conv_id", "turn_idx", "role", "tool", "ts_us"]
 
 # kind -> (parse_turn output key, record-specific columns)
@@ -129,8 +129,8 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
             turn = acc["turn"]
             names = rb.schema.names
             inputs = [rb.column(names.index(c)).to_pylist() for c in _INPUT_COLS]
-            for conv, ti, role, tool, ts, text in zip(*inputs):
-                p = parse_turn(text, max_text_bytes)
+            for conv, ti, role, tool, ts, text, nb in zip(*inputs):
+                p = parse_turn(text, max_text_bytes, n_bytes=nb)
                 turn["conv_id"].append(conv)
                 turn["turn_idx"].append(ti)
                 turn["role"].append(role)
@@ -140,10 +140,7 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
                 turn["error"].append(p["error"])
                 turn["text"].append(text if emit_text else None)
                 if not emit_text:
-                    turn["n_bytes"].append(
-                        None if text is None
-                        else len(text.encode("utf-8", errors="surrogatepass"))
-                    )
+                    turn["n_bytes"].append(nb)
                 for kind, (plural, fields) in _KIND_FIELDS.items():
                     recs = p[plural]
                     if not recs:
@@ -168,6 +165,11 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
         # cast tolerates TIMESTAMP_NTZ parquet inputs (session tz is UTC,
         # so the wall-clock value is unchanged)
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "text",
+        # JVM-side prefilter input: exact UTF-8 byte length so the
+        # Python kernel's 10 MB size guard never encodes the text
+        # (round-3; the whitespace-exact empty/'{' checks stay in
+        # Python — Spark's trim strips a different whitespace set).
+        F.octet_length("text").alias("nb"),
     )
     schema = RECORDS_SCHEMA
     if not emit_text:

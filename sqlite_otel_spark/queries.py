@@ -1670,6 +1670,73 @@ _A6_GOLDEN = """
     """
 
 
+@q(
+    "s28_stateful_dedup",
+    """
+    WITH keys(conv_id, turn_idx, trace_id, span_id) AS (VALUES
+        ('c0', 0, 't1', 's1'), ('c0', 1, 't1', 's1'), ('c0', 2, 't2', 's1'),
+        ('c1', 0, 't1', 's1'), ('c1', 1, 't3', 's1'), ('c1', 2, 't2', 's1'),
+        ('c2', 0, 't3', 's1'), ('c2', 1, 't4', 's9'), ('c2', 2, 't4', 's9')
+    )
+    SELECT conv_id, turn_idx, trace_id, span_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY trace_id, span_id ORDER BY conv_id, turn_idx
+      ) AS rn FROM keys
+    ) WHERE rn = 1 ORDER BY trace_id, span_id
+    """,
+)
+def s28_stateful_dedup(spark, sf_dir):
+    """§2.8 custom stateful operator (streaming/stateful.py), driven as
+    a REAL one-batch stream (applyInPandasWithState is streaming-only):
+    the state store emits the canonical first arrival (min lineage) per
+    span PK — exactly the reference's unique-index first-wins
+    (database/db.go:153-155) — and for a single batch that is
+    SQL-expressible, so this entry gets a full value-hash oracle
+    (cross-batch state + checkpoint recovery are the pytest surface:
+    test_stateful_dedup_matches_sequential)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from sqlite_otel_spark.streaming.stateful import dedup_span_keys_stateful
+
+    rows = [
+        ("c0", 0, "t1", "s1"), ("c0", 1, "t1", "s1"), ("c0", 2, "t2", "s1"),
+        ("c1", 0, "t1", "s1"), ("c1", 1, "t3", "s1"), ("c1", 2, "t2", "s1"),
+        ("c2", 0, "t3", "s1"), ("c2", 1, "t4", "s9"), ("c2", 2, "t4", "s9"),
+    ]
+    schema_str = "conv_id string, turn_idx int, trace_id string, span_id string"
+    tmp = _tempfile.mkdtemp(prefix="s28_keys_")
+    try:
+        _pq.write_table(
+            _pa.Table.from_pylist(
+                [dict(zip(("conv_id", "turn_idx", "trace_id", "span_id"), r))
+                 for r in rows],
+                schema=_pa.schema([
+                    ("conv_id", _pa.string()), ("turn_idx", _pa.int32()),
+                    ("trace_id", _pa.string()), ("span_id", _pa.string()),
+                ]),
+            ),
+            f"{tmp}/part-000.parquet",
+        )
+        q = (
+            dedup_span_keys_stateful(
+                spark.readStream.schema(schema_str).parquet(tmp)
+            )
+            .writeStream.format("memory").queryName("s28_stateful")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = [tuple(r) for r in spark.sql("SELECT * FROM s28_stateful").collect()]
+        return spark.createDataFrame(got, schema_str).orderBy(
+            "trace_id", "span_id"
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 @q("a6_run_manifest", _A6_GOLDEN)
 def a6_run_manifest(spark, sf_dir):
     """A6 run metadata (logging/logger.go:131-143 execution-log

@@ -42,6 +42,14 @@ def get_spark(
         # micro-batch scale. At 100 TB the staging_dir parquet path
         # replaces the cache entirely.
         "spark.sql.inMemoryColumnarStorage.compressed": "false",
+        # Kryo for block/broadcast/spill (de)serialization: the default
+        # JavaSerializer builds deeply recursive object graphs when
+        # cached columnar batches spill to disk and are read back —
+        # observed as a StackOverflow (BENCH_r02) and an OOM inside
+        # ObjectInputStream.readArray (round-3 bench) on the SAME code
+        # path. Kryo writes flat buffers: less garbage, no deep
+        # recursion, and it is the standard production setting.
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     }
     # Single-JVM local mode under load: the default 1g heap GC-thrashes
     # with 32 concurrent tasks, and AlwaysPreTouch prepays the (lazily

@@ -285,3 +285,152 @@ def test_text_stats_single_tokenization_pass(spark, docs):
             round(stop / max(len(toks), 1), 4))
         assert g.mean_token_len == pytest.approx(
             round(sum(map(len, toks)) / max(len(toks), 1), 4))
+
+
+# ---------------------------------------------------------------------------
+# Real pure-stdlib codecs (round 3): the test builds media bytes with a
+# FORWARD filter/encoder, the decoder applies the INVERSE — independent
+# directions, so agreement is a real codec check.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload)))
+
+
+def _make_png(pixels: bytes, w: int, h: int, color_type: int = 2,
+              filters=None) -> bytes:
+    """Encode raw 8-bit pixels as a PNG, forward-filtering each scanline
+    with the given per-row filter types (default all 0/None)."""
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * bpp
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride:(y + 1) * stride]
+        f = filters[y]
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - left
+            elif f == 2:
+                v = line[i] - up
+            elif f == 3:
+                v = line[i] - (left + up) // 2
+            else:  # 4 = Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                v = line[i] - pred
+            raw.append(v & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _make_wav(n_frames: int, n_channels: int = 2, rate: int = 8000,
+              bits: int = 16) -> bytes:
+    import struct
+
+    block = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate, rate * block, block, bits)
+    data = bytes(n_frames * block)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_png_decoder_all_filters():
+    import zlib
+
+    w, h = 5, 4
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 4]):
+        png = _make_png(pixels, w, h, filters=filters)
+        got = mm.decode_png(png)
+        assert got == (w, h, zlib.crc32(pixels)), f"filters={filters}"
+    # grayscale + RGBA variants
+    gray = bytes(range(16))
+    assert mm.decode_png(_make_png(gray, 4, 4, color_type=0))[:2] == (4, 4)
+    rgba = bytes((x * 7) % 256 for x in range(6 * 3 * 4))
+    assert mm.decode_png(_make_png(rgba, 6, 3, color_type=6))[:2] == (6, 3)
+    # non-PNG and truncated inputs must fall through, not raise
+    assert mm.decode_png(b"not a png") is None
+    assert mm.decode_png(_make_png(pixels, w, h)[:20]) is None
+
+
+def test_wav_decoder():
+    assert mm.decode_wav(_make_wav(1234, 2, 44100)) == (1234, 2, 44100)
+    assert mm.decode_wav(_make_wav(10, 1, 8000, bits=8)) == (10, 1, 8000)
+    assert mm.decode_wav(b"RIFFxxxx....") is None
+    assert mm.decode_wav(b"plain text") is None
+
+
+def test_extract_features_real_codecs(spark):
+    """End-to-end: recognized payloads produce REAL dimensions through
+    the mapInPandas kernel; unrecognized ones keep the deterministic
+    stub (the oracle surface)."""
+    import zlib
+
+    w, h = 7, 3
+    pixels = bytes((x * 13 + 5) % 256 for x in range(w * h * 3))
+    png = _make_png(pixels, w, h, filters=[4, 2, 1])
+    wav = _make_wav(500, 2, 16000)
+    txt = b"just some text payload"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), len(png)),
+         (2, "audio", bytearray(wav), len(wav)),
+         (3, "video", bytearray(txt), len(txt))],
+        "doc_id long, media_type string, payload binary, n_bytes long",
+    )
+    got = {r.doc_id: r for r in mm.extract_features(media).collect()}
+    assert (got[1].width, got[1].height) == (w, h)
+    assert got[1].checksum == zlib.crc32(pixels)
+    assert (got[2].width, got[2].height) == (500, 2)
+    assert got[2].checksum == 16000
+    assert (got[3].width, got[3].height) == (len(txt) % 640 + 1, len(txt) % 480 + 1)
+    # resize consumes real dims too: 7x3 fits the 128x96 box unchanged
+    rz = {r.doc_id: r for r in mm.resize(media).collect()}
+    assert (rz[1].width, rz[1].height, rz[1].resized_w, rz[1].resized_h) == (w, h, w, h)
+
+
+def test_vectorized_ann_kernels_match_expression_forms(spark, emb):
+    """The numpy matmul kernels must reproduce the Catalyst expression
+    forms exactly on real embeddings: bit-identical int64 signatures,
+    identical cell assignments, identical 4-dp-rounded rerank output."""
+    dim = 64
+    sigs_np = {r.vec_id: r.s for r in emb.select(
+        "vec_id", sim.lsh_sig_pd_udf(dim, 12)(F.col("embedding")).alias("s")).collect()}
+    sigs_ex = {r.vec_id: r.s for r in emb.select(
+        "vec_id", sim.lsh_bucket_col(F.col("embedding"), dim, 12).alias("s")).collect()}
+    assert sigs_np == sigs_ex
+
+    cells_np = {r.vec_id: r.c for r in emb.select(
+        "vec_id", sim.ivf_cells_pd_udf(dim, 8, 2)(F.col("embedding")).alias("c")).collect()}
+    cells_ex = {r.vec_id: r.c for r in emb.select(
+        "vec_id", sim.ivf_cells_col(F.col("embedding"), dim, 8, 2).alias("c")).collect()}
+    assert cells_np == cells_ex
+
+    q = emb.filter(F.col("vec_id") < 5)
+    for fn, kw in ((sim.lsh_topk, {}), (sim.ivf_topk, {})):
+        got_np = {tuple(r) for r in fn(emb, q, dim, vectorized=True).collect()}
+        got_ex = {tuple(r) for r in fn(emb, q, dim, vectorized=False).collect()}
+        assert got_np == got_ex, fn.__name__
+    pairs_np = {tuple(r) for r in sim.lsh_near_pairs(emb, dim, vectorized=True).collect()}
+    pairs_ex = {tuple(r) for r in sim.lsh_near_pairs(emb, dim, vectorized=False).collect()}
+    assert pairs_np == pairs_ex
