@@ -111,19 +111,35 @@ def md5hash60(col, salt: int | None = None):
 
 
 _MOD60 = 1 << 60
+_MASK60 = _MOD60 - 1
+_MASK30 = (1 << 30) - 1
 
 
 def km_hash_cols(col, num_perm: int) -> list:
     """Kirsch-Mitzenmacher hash family: h_i = (h1 + i*h2) mod 2^60 from
     TWO base md5 hashes instead of one md5 per permutation (the standard
     construction for MinHash families; preserves the min-wise estimate).
-    i*h2 reaches 2^66, so the arithmetic runs in DECIMAL(38,0) — exact
-    in Spark, and DuckDB reproduces it with HUGEINT. Cuts the md5 count
-    per shingle from num_perm to 2 (~10x on the LSH oracle queries)."""
-    h1 = md5hash60(col).cast("decimal(38,0)")
-    h2 = md5hash60(F.concat(col, F.lit("#"))).cast("decimal(38,0)")
+    Cuts the md5 count per shingle from num_perm to 2.
+
+    Arithmetic (round 3): i*h2 reaches 2^66, past int64 — but the split
+    h2 = hi*2^30 + lo makes every intermediate < 2^62, so the whole
+    family runs in plain long whole-stage codegen with no DECIMAL(38)
+    (the previous form; arbitrary-precision mult/mod dominated the
+    signature projection) and no overflow even under ANSI mode:
+      (i*h2) mod 2^60 = ((i*hi mod 2^30) << 30) + i*lo   [< 2^60 + 2^36]
+    because (x*2^30) mod 2^60 = (x mod 2^30)*2^30; the final low-60-bit
+    mask is exactly mod 2^60. Values are IDENTICAL to the DuckDB
+    oracle's HUGEINT (h1 + i*h2) % 2^60 (parity-tested)."""
+    h1 = md5hash60(col)
+    h2 = md5hash60(F.concat(col, F.lit("#")))
+    lo = h2.bitwiseAND(F.lit(_MASK30))
+    hi = F.shiftright(h2, 30).bitwiseAND(F.lit(_MASK30))
     return [
-        ((h1 + F.lit(i) * h2) % F.lit(_MOD60)).cast("long").alias(f"h{i}")
+        (
+            h1
+            + F.shiftleft((F.lit(i) * hi).bitwiseAND(F.lit(_MASK30)), 30)
+            + F.lit(i) * lo
+        ).bitwiseAND(F.lit(_MASK60)).alias(f"h{i}")
         for i in range(num_perm)
     ]
 
