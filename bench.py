@@ -124,10 +124,19 @@ def new_session(master: str, shuffle_partitions: int):
     return spark
 
 
-def timed_pipeline(spark, transcripts_path: str, rep: int) -> float:
+def timed_pipeline(spark, transcripts_path: str, rep: int,
+                   emit_text: bool = True) -> float:
     """The metric's timed section: parse -> enrich -> route -> aggregate,
     materializing per-sink counts + the three aggregates (concurrent
-    driver submission — independent sub-DAGs over the shared cache)."""
+    driver submission — independent sub-DAGs over the shared cache).
+
+    ``emit_text=False`` is the REFERENCE-FAITHFUL retention mode (the
+    collector never persists raw request bodies,
+    handlers/handler_common.go:33-45); it drops the raw text right
+    after parse, removing the cache's dominant column. Reported as a
+    secondary scaling row: on one box, memory bandwidth is shared by
+    all cores — the one resource a real N->4N EXECUTOR scale-up
+    multiplies but a core scale-up cannot."""
     from sqlite_otel_spark.config import PipelineConfig
     from sqlite_otel_spark.plans.pipeline import collect_aggregates, run_pipeline
 
@@ -135,8 +144,8 @@ def timed_pipeline(spark, transcripts_path: str, rep: int) -> float:
 
     df = spark.read.parquet(transcripts_path)
     t0 = time.monotonic()
-    result = run_pipeline(spark, df, PipelineConfig(), repartition_to=rep,
-                          do_salt=True)
+    result = run_pipeline(spark, df, PipelineConfig(emit_text=emit_text),
+                          repartition_to=rep, do_salt=True)
     # two concurrently-submitted jobs total: the 7-sink fused count and
     # the GROUPING-SETS fused rollup (driver-latency floor, not 11 jobs)
     with ThreadPoolExecutor(max_workers=2) as pool:
@@ -211,6 +220,17 @@ def child_main(a: argparse.Namespace) -> None:
         "wall": round(min(walls), 3),
         "walls": [round(w, 3) for w in walls],
     }
+    if a.master in ("local[2]", "local[8]"):
+        # secondary N->4N evidence: reference-faithful no-body-retention
+        # mode (see timed_pipeline docstring) on the criterion pair
+        nt = []
+        for i in range(2):
+            w = timed_pipeline(spark, a.transcripts, a.rep, emit_text=False)
+            nt.append(round(w, 3))
+            log(f"{a.master} notext run{i}: {w:.2f}s "
+                f"({a.n_turns / w:,.0f} turns/s)")
+        out["walls_notext"] = nt
+        out["wall_notext"] = min(nt)
     if a.extras:
         log("== sink write wall (full parallelism) ==")
         out["write_wall"] = round(timed_writes(spark, a.transcripts, a.rep), 3)
@@ -320,6 +340,15 @@ def main() -> None:
         f"walls_local{CPUS}": results.get(CPUS, {}).get("walls"),
         "scaling_efficiency_2_to_8": (
             round((thr(8) / thr(2)) / 4, 3) if thr(2) and thr(8) else None
+        ),
+        "walls_notext_local2": results.get(2, {}).get("walls_notext"),
+        "walls_notext_local8": results.get(8, {}).get("walls_notext"),
+        "scaling_efficiency_2_to_8_notext": (
+            round(
+                (results[2]["wall_notext"] / results[8]["wall_notext"]) / 4, 3
+            )
+            if results.get(2, {}).get("wall_notext")
+            and results.get(8, {}).get("wall_notext") else None
         ),
         f"scaling_efficiency_8_to_{CPUS}": (
             round((thr(CPUS) / thr(8)) / (CPUS / 8), 3)

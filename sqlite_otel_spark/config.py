@@ -93,6 +93,15 @@ class PipelineConfig:
     table_format: str = "parquet"
     iceberg_table_prefix: str = "local.otel"
 
+    # Sink partition layout (SURVEY §7 M4: "partition layout
+    # (signal_type, days(ts))"). When True, the fact sinks (spans,
+    # log_records, metric_data_points, rejects) are written partitioned
+    # by a derived ts_day column (days(ts) — the Iceberg transform's
+    # parquet equivalent), so time-ranged reads partition-prune at the
+    # directory level; dimension sinks stay unpartitioned (tiny). Off by
+    # default: the sandbox correctness surface compares whole sinks.
+    partition_facts_by_day: bool = False
+
     # Per-sink malformed-row policy (F7): traces/metrics are lenient at the
     # envelope level but any record error fails the whole turn; logs are
     # strict end-to-end. These are fixed semantics of the reference

@@ -288,12 +288,25 @@ def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None
                     f"iceberg write for sink '{name}' unavailable "
                     f"({type(e).__name__}); falling back to parquet"
                 )
-        (
-            df.write.mode("overwrite")
+        writer = df
+        partition_cols: list[str] = []
+        if (cfg.partition_facts_by_day and "ts" in df.columns
+                and name in ("spans", "log_records", "metric_data_points",
+                             "rejects")):
+            # M4 partition layout: days(ts) as a directory-level
+            # partition column — time-ranged scans prune partitions
+            # before reading a byte (the parquet analogue of the
+            # Iceberg days() transform the north_star names).
+            writer = df.withColumn("ts_day", F.to_date("ts"))
+            partition_cols = ["ts_day"]
+        w = (
+            writer.write.mode("overwrite")
             .option("compression", cfg.compression)
             .option("maxRecordsPerFile", per_file)
-            .parquet(f"{out_dir}/{name}")
         )
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(f"{out_dir}/{name}")
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -90,3 +90,40 @@ def test_iceberg_format_falls_back_to_parquet(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "t"))
     assert got.count() == 100
     assert sorted(got.columns) == ["id", "payload"]
+
+
+def test_partitioned_fact_sinks_prune(spark, tmp_path):
+    """M4 partition layout (SURVEY §7): with partition_facts_by_day the
+    fact sinks land as ts_day=... directories, and a date-filtered read
+    prunes partitions (PartitionFilters in the scan, fewer files read) —
+    the parquet analogue of Iceberg's days(ts) transform."""
+    from pyspark.sql import functions as F2
+
+    from sqlite_otel_spark.fixtures import make_transcripts
+    from sqlite_otel_spark.plans.pipeline import run_pipeline
+
+    rows = make_transcripts(300, seed=11)
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).withColumn(  # fixture ts spans hours; spread across days for the test
+        "ts", F2.col("ts") + F2.make_interval(days=F2.col("turn_idx") % 3)
+    )
+    res = run_pipeline(spark, df, PipelineConfig())
+    cfg = PipelineConfig(partition_facts_by_day=True)
+    write_sinks(res, str(tmp_path), cfg)
+    res.unpersist()
+
+    day_dirs = glob.glob(str(tmp_path / "spans" / "ts_day=*"))
+    assert len(day_dirs) >= 2, "fixture spans several days; want >=2 partitions"
+
+    back = spark.read.parquet(str(tmp_path / "spans"))
+    one_day = sorted(os.path.basename(d).split("=")[1] for d in day_dirs)[0]
+    pruned = back.filter(F2.col("ts_day") == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ts_day" in plan
+    # row equality vs the unpartitioned sink contents
+    n_all = back.count()
+    assert n_all == res.sinks["spans"].count()
+    assert pruned.count() < n_all
