@@ -190,6 +190,77 @@ def minhash_lsh_candidates(sig: DataFrame, bands: int = 16, rows: int = 4,
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b) -> (doc_id, component) where
+    component = the MINIMUM doc id reachable through the pair graph —
+    the canonical cluster label a dedup keep/drop decision needs
+    (emitting pairs alone under-deletes: A~B, B~C must collapse to one
+    kept doc even when A~C was never emitted).
+
+    Spark-first iterative min-label propagation: labels start as the
+    node id; each round every node takes min(own label, neighbors'
+    labels) via ONE equi-join + ONE groupBy per round, iterating until
+    a fixpoint (converges in O(diameter) <= O(log n) rounds for the
+    star-like clusters near-dup graphs produce). The convergence check
+    is a count of changed labels — an action per round, which is how
+    iterative algorithms on DataFrames work; every round's join keys
+    are plain longs, no driver-side graph state. Caps at ``max_iter``
+    and raises if not converged (a pathological chain longer than
+    2^max_iter nodes cannot arise from banded LSH candidates at sane
+    thresholds)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .dropDuplicates()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()  # no-op on the (uncached) initial labels
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_decisions(pairs: DataFrame) -> DataFrame:
+    """Cluster the near-dup pair graph and decide keep/drop per doc:
+    the component representative (min doc id) is kept, every other
+    member drops — the standard representative-selection policy of a
+    training-data dedup pass."""
+    comp = connected_components(pairs)
+    return comp.select(
+        "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("keep")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """n_bits SimHash over tokens (bag semantics): bit j of the

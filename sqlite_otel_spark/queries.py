@@ -1275,6 +1275,44 @@ def dp_simhash_neardup(spark, sf_dir):
     return dd.simhash_near_dups(fp, max_hamming=3, n_bits=60).orderBy("doc_a", "doc_b")
 
 
+def _dedup_components_sql() -> str:
+    """Oracle: the SimHash near-dup pairs (same md5hash60 computation as
+    dp_simhash_neardup) closed transitively by a recursive CTE, min
+    reachable label per node = the component."""
+    base = _simhash_sql(n_bits=60, max_hamming=3)
+    return f"""
+    WITH RECURSIVE pairs AS ({base}),
+    ed AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT e.a, r.lbl FROM ed e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component,
+           node = min(lbl) AS keep
+    FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
+@q("dp_dedup_components", _dedup_components_sql())
+def dp_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING (round 3): pairs under-deletes (A~B, B~C
+    must collapse to one kept doc even when A~C was never emitted), so
+    the dedup decision runs connected components over the pair graph —
+    iterative min-label propagation, one equi-join + groupBy per round
+    (dedup.connected_components) — and keeps only each component's
+    minimum doc id. The DuckDB oracle closes the SAME md5hash60 SimHash
+    pair graph with a recursive CTE, so clustering + keep/drop verdicts
+    are value-hash-checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = dd.simhash(docs, n_bits=60, hash_fn="md5")
+    pairs = dd.simhash_near_dups(fp, max_hamming=3, n_bits=60)
+    return dd.dedup_decisions(pairs).orderBy("doc_id")
+
+
 @q(
     "dp_embedding_neardup",
     """

@@ -434,3 +434,47 @@ def test_vectorized_ann_kernels_match_expression_forms(spark, emb):
     pairs_np = {tuple(r) for r in sim.lsh_near_pairs(emb, dim, vectorized=True).collect()}
     pairs_ex = {tuple(r) for r in sim.lsh_near_pairs(emb, dim, vectorized=False).collect()}
     assert pairs_np == pairs_ex
+
+
+def test_connected_components_matches_union_find(spark, docs):
+    """Clustering the near-dup pair graph: the iterative min-label
+    propagation must equal a sequential union-find over the same
+    pairs, and keep-list = one representative (min id) per cluster."""
+    fp = dd.simhash(docs, n_bits=64)
+    pairs = dd.simhash_near_dups(fp, max_hamming=3, n_bits=64)
+    got = {r.doc_id: (r.component, r.keep)
+           for r in dd.dedup_decisions(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        root = find(n)
+        want[n] = root
+    # canonical min-label per component
+    comp_min: dict = {}
+    for n, root in want.items():
+        comp_min.setdefault(root, n)
+        comp_min[root] = min(comp_min[root], n)
+    assert len(got) == len(want)
+    for n, root in want.items():
+        assert got[n] == (comp_min[root], n == comp_min[root]), n
+    # synthetic chain A-B, B-C, C-D: all collapse to one component
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.component, r.keep)
+           for r in dd.dedup_decisions(chain).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (1, False), 10: (10, True), 11: (10, False)}
