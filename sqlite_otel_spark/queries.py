@@ -1275,6 +1275,43 @@ def dp_simhash_neardup(spark, sf_dir):
     return dd.simhash_near_dups(fp, max_hamming=3, n_bits=60).orderBy("doc_a", "doc_b")
 
 
+_SAMPLE_GATE = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+                "% 1000000")
+
+
+@q(
+    "dp_stratified_sample",
+    f"""
+    SELECT lang, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    WHERE {_SAMPLE_GATE} < CASE lang
+        WHEN 'en' THEN 500000 WHEN 'es' THEN 250000 ELSE 100000 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def dp_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (datapipe/sample.py): corpus
+    mixture weighting with an id-hash gate instead of Spark's
+    partition-seeded RNG — the kept set is a pure function of
+    (id, fraction), identical on any cluster size, nested across
+    fractions, and reproduced row-for-row by the DuckDB oracle's md5
+    arithmetic (sum of kept ids is part of the hash surface)."""
+    from sqlite_otel_spark.datapipe.sample import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, {"en": 0.5, "es": 0.25}, strata_col="lang",
+        default_fraction=0.1,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("doc_id").cast("long").alias("sum_ids"))
+        .orderBy("lang")
+    )
+
+
 def _dedup_components_sql() -> str:
     """Oracle: the SimHash near-dup pairs (same md5hash60 computation as
     dp_simhash_neardup) closed transitively by a recursive CTE, min

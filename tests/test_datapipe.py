@@ -478,3 +478,32 @@ def test_connected_components_matches_union_find(spark, docs):
            for r in dd.dedup_decisions(chain).collect()}
     assert out == {1: (1, True), 2: (1, False), 3: (1, False),
                    4: (1, False), 10: (10, True), 11: (10, False)}
+
+
+def test_deterministic_sampling_properties(spark, docs):
+    """Hash-gated sampling: reproducible across repartitionings, nested
+    across fractions, and per-stratum kept shares near their targets."""
+    from sqlite_otel_spark.datapipe import sample as smp
+
+    base = docs.select("doc_id", "lang")
+    k30 = {r.doc_id for r in smp.deterministic_sample(base, 0.3).collect()}
+    # partitioning-invariant (Spark's sample() is NOT)
+    k30b = {r.doc_id for r in
+            smp.deterministic_sample(base.repartition(13), 0.3).collect()}
+    assert k30 == k30b
+    # nested: the 10% sample is a subset of the 30% sample
+    k10 = {r.doc_id for r in smp.deterministic_sample(base, 0.1).collect()}
+    assert k10 <= k30
+    n = base.count()
+    assert abs(len(k30) / n - 0.3) < 0.1
+    # stratified: per-lang shares track their fractions
+    kept = smp.stratified_sample(base, {"en": 0.5, "es": 0.25},
+                                 default_fraction=0.0)
+    shares = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.lang: r.n for r in
+              base.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(shares) <= {"en", "es"}  # default 0.0 drops other strata
+    for lang, frac in (("en", 0.5), ("es", 0.25)):
+        if totals.get(lang, 0) >= 50:
+            assert abs(shares.get(lang, 0) / totals[lang] - frac) < 0.15
