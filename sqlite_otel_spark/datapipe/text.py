@@ -120,6 +120,66 @@ def quality_cols(text: Column, tokens: Column | None = None) -> dict[str, Column
     }
 
 
+def term_stats(df, text_col: str = "text", id_col: str = "doc_id",
+               min_doc_freq: int = 2):
+    """Corpus term statistics: (token, doc_freq, total_tf) — ONE explode
+    of the shared token array and ONE groupBy (map-side partial agg);
+    doc_freq counts distinct docs via the (doc, token) dedup inside the
+    aggregation. The vocabulary table every mixture/quality pass needs;
+    at 100 TB this is the canonical skew-aware word-count shape."""
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        _F.col(id_col).alias("doc_id"),
+        _F.explode(tokens_col(_F.col(text_col))).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            _F.count_distinct("doc_id").alias("doc_freq"),
+            _F.count(_F.lit(1)).alias("total_tf"),
+        )
+        .filter(_F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def tfidf_top_terms(df, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Top-k TF-IDF terms per document: tf(d,t) * ln(N / df(t)), ranked
+    per doc by a window (score desc, token asc — deterministic across
+    engines). Two shuffles total: the (doc, token) tf aggregation and
+    the token doc-freq join (df table is small after aggregation ->
+    broadcast-eligible); idf uses the natural log both engines share."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        _F.col(id_col).alias("doc_id"),
+        _F.explode(tokens_col(_F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(_F.count(_F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(_F.count(_F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(_F.count_distinct(_F.col(id_col))).first()[0]
+    scored = (
+        tf.join(_F.broadcast(dfreq), "token")
+        .withColumn(
+            "tfidf",
+            _F.round(
+                _F.col("tf") * _F.log(_F.lit(float(n_docs)) / _F.col("doc_freq")),
+                4,
+            ),
+        )
+    )
+    w = _W.partitionBy("doc_id").orderBy(
+        _F.col("tfidf").desc(), _F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", _F.row_number().over(w))
+        .filter(_F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "doc_freq", "tfidf", "rank")
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (bit-for-bit reproducible in the DuckDB oracle)."""

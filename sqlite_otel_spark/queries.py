@@ -1275,6 +1275,62 @@ def dp_simhash_neardup(spark, sf_dir):
     return dd.simhash_near_dups(fp, max_hamming=3, n_bits=60).orderBy("doc_a", "doc_b")
 
 
+@q(
+    "dp_term_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(count(*) AS BIGINT) AS total_tf
+    FROM toks GROUP BY token
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY token
+    """,
+)
+def dp_term_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (datapipe/text.py term_stats): one
+    explode + one groupBy with map-side partial agg — the canonical
+    skew-aware word-count shape every mixture/quality pass needs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.term_stats(docs, min_doc_freq=2).orderBy("token")
+
+
+@q(
+    "dp_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY token),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+             round(tf.tf * ln((SELECT n FROM nd) / dfq.doc_freq), 4) AS tfidf
+      FROM tf JOIN dfq USING (token)
+    )
+    SELECT doc_id, token, tf, doc_freq, tfidf, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+      ) AS rank FROM scored
+    ) WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def dp_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (datapipe/text.py
+    tfidf_top_terms): tf aggregation + broadcast doc-freq join +
+    per-doc ranking window; the DuckDB oracle recomputes every score
+    with the same ln and 4-dp rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
 _SAMPLE_GATE = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
                 "% 1000000")
 

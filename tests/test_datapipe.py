@@ -507,3 +507,27 @@ def test_deterministic_sampling_properties(spark, docs):
     for lang, frac in (("en", 0.5), ("es", 0.25)):
         if totals.get(lang, 0) >= 50:
             assert abs(shares.get(lang, 0) / totals[lang] - frac) < 0.15
+
+
+def test_tfidf_matches_python(spark, docs):
+    """TF-IDF top-terms vs an independent pure-Python computation."""
+    import math
+    from collections import Counter
+
+    from sqlite_otel_spark.datapipe import text as dtx
+
+    sub = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    got = {(r.doc_id, r.rank): (r.token, r.tfidf)
+           for r in dtx.tfidf_top_terms(sub, k=2).collect()}
+
+    rows = {r.doc_id: _python_tokens(r.text) for r in sub.collect()}
+    n = len(rows)
+    tf = {d: Counter(toks) for d, toks in rows.items()}
+    dfreq = Counter(t for d in tf for t in tf[d])
+    for d in rows:
+        scored = sorted(
+            ((round(c * math.log(n / dfreq[t]), 4), t) for t, c in tf[d].items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for rank, (score, tok) in enumerate(scored, 1):
+            assert got[(d, rank)] == (tok, pytest.approx(score)), (d, rank)
