@@ -194,6 +194,24 @@ def main() -> None:
              "against the expression forms",
     )
 
+    tfidf = QUERIES["dp_tfidf_top_terms"](spark, SF)
+    audit(
+        "dp_tfidf_top_terms", tfidf,
+        want=["BroadcastHashJoin"],
+        forbid=["SortMergeJoin", "CartesianProduct"],
+        note="doc-frequency table joins broadcast (tiny after agg); tf "
+             "agg is partial+final; ranking is one window per doc",
+    )
+
+    comp = QUERIES["dp_dedup_components"](spark, SF)
+    audit(
+        "dp_dedup_components", comp,
+        forbid=["CartesianProduct"],
+        note="near-dup clustering: banded SimHash candidates + iterative "
+             "min-label propagation — equi-joins only, no cross product "
+             "at any round",
+    )
+
     # one-pass text kernel: the whole lang-ID + quality projection must
     # hold exactly ONE regexp tokenization (the old form held 16+)
     lang = QUERIES["dp_lang_id"](spark, SF)
