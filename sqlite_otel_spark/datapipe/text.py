@@ -186,6 +186,45 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
 
 
+def corpus_filter(df, text_col: str = "text", id_col: str = "doc_id",
+                  min_tokens: int = 20, max_non_alnum: float = 0.5,
+                  min_stopword_ratio: float = 0.01):
+    """Quality gating with REJECT REASONS (the datapipe twin of the
+    telemetry pipeline's per-turn reject accounting): every doc gets a
+    verdict row (doc_id, keep, reject_reason) where reason is the FIRST
+    failed rule in a fixed order — too_short, too_symbolic,
+    no_stopwords — or NULL when kept. One pass over the shared token
+    array (same one-pass structure as quality_cols); narrow, no
+    shuffle, and the drop set is auditable instead of silently vanished
+    (at 100 TB, 'where did 40% of my corpus go' must be answerable)."""
+    from pyspark.sql import functions as _F
+
+    tokens = tokens_col(_F.col(text_col))
+    doc = df.withColumn("__tokens", tokens)
+    tk = _F.col("__tokens")
+    n_chars = _F.length(_F.col(text_col)).cast("long")
+    n_tokens = _F.size(tk).cast("long")
+    alnum = _F.aggregate(tk, _F.lit(0), lambda a, t: a + _F.length(t)).cast("long")
+    non_alnum_ratio = _F.round(
+        (n_chars - alnum) / _F.greatest(n_chars, _F.lit(1)), 4
+    )
+    stop_hits = sum((_token_occurrences(tk, w) for w in STOPWORDS), _F.lit(0))
+    stop_ratio = _F.round(stop_hits / _F.greatest(n_tokens, _F.lit(1)), 4)
+    reason = (
+        _F.when(n_tokens < min_tokens, "too_short")
+        .when(non_alnum_ratio > max_non_alnum, "too_symbolic")
+        .when(stop_ratio < min_stopword_ratio, "no_stopwords")
+    )
+    return doc.select(
+        _F.col(id_col).alias("doc_id"),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+        n_tokens.alias("n_tokens"),
+        non_alnum_ratio.alias("non_alnum_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+    )
+
+
 ROLLING_M = 1099511627689  # 40-bit prime: acc*31 + code < 2^46, no overflow
 
 

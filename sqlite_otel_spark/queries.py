@@ -1276,6 +1276,39 @@ def dp_simhash_neardup(spark, sf_dir):
 
 
 @q(
+    "dp_corpus_filter",
+    f"""
+    SELECT doc_id, reason IS NULL AS keep, reason AS reject_reason,
+           n_tokens, non_alnum_ratio, stopword_ratio
+    FROM (
+      SELECT *,
+        CASE WHEN n_tokens < 20 THEN 'too_short'
+             WHEN non_alnum_ratio > 0.5 THEN 'too_symbolic'
+             WHEN stopword_ratio < 0.01 THEN 'no_stopwords' END AS reason
+      FROM (
+        SELECT doc_id,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+               round((strlen(text)
+                      - coalesce(list_sum(list_transform({_TOKENS_SQL}, t -> strlen(t))), 0))
+                     / greatest(strlen(text), 1), 4) AS non_alnum_ratio,
+               round(({" + ".join(_occ_sql(w) for w in ["the", "and", "of", "a", "to", "in", "is"])})
+                     / greatest(len({_TOKENS_SQL}), 1), 4) AS stopword_ratio
+        FROM documents
+      )
+    ) ORDER BY doc_id
+    """,
+)
+def dp_corpus_filter(spark, sf_dir):
+    """Quality gating with reject reasons (datapipe/text.py
+    corpus_filter): every doc gets an auditable keep/drop verdict with
+    the first failed rule named — the datapipe twin of the telemetry
+    pipeline's reject accounting; one pass over the shared token
+    array."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.corpus_filter(docs).orderBy("doc_id")
+
+
+@q(
     "dp_term_stats",
     """
     WITH toks AS (

@@ -531,3 +531,30 @@ def test_tfidf_matches_python(spark, docs):
         )[:2]
         for rank, (score, tok) in enumerate(scored, 1):
             assert got[(d, rank)] == (tok, pytest.approx(score)), (d, rank)
+
+
+def test_corpus_filter_reasons(spark, docs):
+    """Every doc gets exactly one verdict; reasons fire in fixed order
+    and agree with a Python recount of the failing rule."""
+    from sqlite_otel_spark.datapipe import text as dtx
+
+    out = {r.doc_id: r for r in dtx.corpus_filter(
+        docs.filter(F.col("doc_id") < 50), min_tokens=20).collect()}
+    assert len(out) == 50
+    stop = {"the", "and", "of", "a", "to", "in", "is"}
+    for r_doc in docs.filter(F.col("doc_id") < 50).collect():
+        toks = _python_tokens(r_doc.text)
+        v = out[r_doc.doc_id]
+        n_chars = len(r_doc.text)
+        non_alnum = round((n_chars - sum(map(len, toks))) / max(n_chars, 1), 4)
+        sr = round(sum(1 for t in toks if t in stop) / max(len(toks), 1), 4)
+        if len(toks) < 20:
+            want = "too_short"
+        elif non_alnum > 0.5:
+            want = "too_symbolic"
+        elif sr < 0.01:
+            want = "no_stopwords"
+        else:
+            want = None
+        assert v.reject_reason == want, r_doc.doc_id
+        assert v.keep == (want is None)
