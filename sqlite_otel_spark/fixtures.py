@@ -214,11 +214,15 @@ def _cascade_texts() -> list[tuple[str, str]]:
     ]
 
 
-def make_transcripts(n_turns: int = 2000, seed: int = 42, include_edges: bool = True):
+def make_transcripts(n_turns: int = 2000, seed: int = 42, include_edges: bool = True,
+                     hot_frac: float = 0.1):
     """Generate ``n_turns`` transcript rows (plus a fixed edge/cascade tail
     when ``include_edges``). Returns a list of dicts matching input_hint.
-    Conversation lengths are Zipf-ish: conversation 0 is 'hot' with ~10%
-    of all turns (skew target for salting)."""
+    Conversation lengths are Zipf-ish: conversation 0 is 'hot' with
+    ``hot_frac`` (default ~10%) of all turns — the skew target for
+    salting. bench.py's skew variant raises it to 0.30 to measure the
+    salted-repartition win on an adversarially hot conversation; the
+    default stays 0.1 so every oracle/golden hash is unchanged."""
     rng = random.Random(seed)
     rows: list[dict] = []
     turn_seq = 0
@@ -247,7 +251,7 @@ def make_transcripts(n_turns: int = 2000, seed: int = 42, include_edges: bool = 
             return _trace_text(rng, turn_seq, t0)
         return _metric_text(rng, t0)
 
-    hot = max(1, n_turns // 10)
+    hot = max(1, int(n_turns * hot_frac))
     for i in range(hot):  # hot conversation (skew)
         add("conv-00000000", i, gen_text())
     conv, idx = 1, 0
@@ -289,13 +293,15 @@ def tool_dim_rows() -> list[dict]:
 
 
 def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
-                              include_edges: bool = True) -> int:
+                              include_edges: bool = True,
+                              hot_frac: float = 0.1) -> int:
     """Write fixture transcripts as a parquet file via pyarrow (no Spark
     needed — used by bench.py to build cached inputs)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = make_transcripts(n_turns, seed=seed, include_edges=include_edges)
+    rows = make_transcripts(n_turns, seed=seed, include_edges=include_edges,
+                            hot_frac=hot_frac)
     schema = pa.schema([
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),

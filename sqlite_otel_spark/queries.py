@@ -1671,15 +1671,16 @@ def dp_multimodal_resize(spark, sf_dir):
     """
     SELECT doc_id, media_type,
            CAST(gs - 1 AS INTEGER) AS frame_idx,
-           substr(text, CAST((gs - 1) * 64 + 1 AS INTEGER), 8) AS frame_sig
+           substring(hx, CAST((gs - 1) * 128 + 1 AS BIGINT), 16) AS frame_sig
     FROM (
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'image'
                   WHEN doc_id % 3 = 1 THEN 'audio'
                   ELSE 'video' END AS media_type,
-             text,
+             hex(encode(text)) AS hx,
              unnest(generate_series(
-               1, greatest(CAST(floor(strlen(text) / 64.0) AS INTEGER), 1)
+               1, greatest(CAST(floor(octet_length(encode(text)) / 64.0)
+                                AS INTEGER), 1)
              )) AS gs
       FROM documents
     ) ORDER BY doc_id, frame_idx
@@ -1687,9 +1688,10 @@ def dp_multimodal_resize(spark, sf_dir):
 )
 def dp_frame_sample(spark, sf_dir):
     """Frame sampling stand-in (multimodal.py frame_sample): native
-    posexplode over byte-offset slices — the substring arithmetic is
-    SQL-reproducible, so the DuckDB oracle recomputes every frame
-    signature."""
+    posexplode over BINARY byte-offset slices, hex-encoded signatures
+    (binary-safe — real non-UTF-8 payload bytes survive). The DuckDB
+    oracle reproduces every signature by slicing hex(encode(text)) at
+    2x the byte offsets (2 hex chars per byte)."""
     docs = _t(spark, sf_dir, "documents")
     return mm.frame_sample(mm.to_media(docs), every_n_bytes=64).orderBy(
         "doc_id", "frame_idx"
