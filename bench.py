@@ -425,11 +425,25 @@ def main() -> None:
     seen_cores: set[int] = set()
     levels = [lv for lv in levels
               if lv[1] not in seen_cores and not seen_cores.add(lv[1])]
+    # global wall-clock budget: a storm-heavy run must not balloon past
+    # what the invoking driver tolerates — remaining levels get their
+    # timeout clamped to the leftover budget, and once <300 s remain
+    # the level is skipped (the final record always prints, partial
+    # beats absent)
+    bench_budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "7200"))
+    t_start = time.monotonic()
     results: dict[int, dict] = {}
     failed: list[str] = []
     for master, cores, rep, k, k_notext, extras, timeout in levels:
+        remaining = bench_budget - (time.monotonic() - t_start)
+        if remaining < 300:
+            log(f"{master}: skipped — global bench budget "
+                f"({bench_budget}s) exhausted")
+            failed.append(f"{master} (budget)")
+            continue
         r = spawn_level(master, cores, rep, k, k_notext, transcripts_path,
-                        n_turns, warmup_path, extras, timeout)
+                        n_turns, warmup_path, extras,
+                        min(timeout, int(remaining)))
         if r is None:
             failed.append(master)
         else:
@@ -520,6 +534,8 @@ def main() -> None:
         "cpus": CPUS,
         "self_contained": True,  # all levels from THIS invocation, fresh JVM each
         "levels_failed": failed,
+        "bench_budget_sec": bench_budget,
+        "bench_elapsed_sec": round(time.monotonic() - t_start, 1),
         "memory_model": "executor-scaled: heap = 4*cores GiB (cap 48) — "
                         "one (2-core, 8 GiB) executor per 2 cores, so "
                         "aggregate memory grows with executor count as "

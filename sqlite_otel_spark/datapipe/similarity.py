@@ -78,6 +78,19 @@ def brute_force_topk(
 # 4-dp rounding every consumer applies — the DuckDB oracles already
 # tolerate exactly this class of difference (list_dot_product sums in
 # DuckDB's own order and the value hashes match).
+#
+# Residual divergence risk (ADVICE r3, documented by design): two
+# decisions consume UNROUNDED floats — the LSH sign bit ((V@planes)>0)
+# and the IVF cell argsort — so a dot product within ~1e-15 of zero
+# (sign) or a near-exact cell-score tie (argsort) could in principle
+# resolve differently between the numpy and expression forms, changing
+# a CANDIDATE set (never a rerank value, which is rounded). With the
+# seeded non-degenerate hyperplanes/centroids used here, exact ties
+# have measure ~0 and parity is asserted bit-identical on the full
+# fixture corpus (test_vectorized_ann_kernels_match_expression_forms);
+# quantizing before the sign/argsort in BOTH forms would force tie
+# agreement but also have to be mirrored in the DuckDB oracle SQL, so
+# the trade is documented rather than taken.
 # ---------------------------------------------------------------------------
 
 

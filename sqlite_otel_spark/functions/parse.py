@@ -747,7 +747,15 @@ def parse_turn(text: str | None, max_bytes: int = 10 * 1024 * 1024,
     (round-3 prefilter; VERDICT r2 next #8) so the size guard costs a
     comparison instead of a full encode+copy of every turn — at 3M
     turns the per-row ``str.encode`` was ~2.7 GB of throwaway
-    allocation. ``None`` (direct callers, oracle) keeps the encode."""
+    allocation. ``None`` (direct callers, oracle) keeps the encode.
+
+    Equivalence assumption (ADVICE r3): JVM ``octet_length`` and
+    Python's ``surrogatepass`` UTF-8 length coincide for all
+    surrogate-free strings; parquet/Arrow string columns cannot carry
+    lone surrogates, so the two byte-length definitions provably agree
+    on the pipeline path. Only a direct Python caller handing in a str
+    WITH lone surrogates near the 10 MB limit could classify
+    differently from the Spark kernel."""
     if text is None or text.strip() == "":
         return _result(None, REJECT_EMPTY)
     if n_bytes is None:

@@ -209,22 +209,38 @@ def derive_max_records_per_file(
 
 
 def _is_catalog_missing(e: Exception) -> bool:
-    """True when an Iceberg ``writeTo`` failed because no Iceberg catalog
-    is configured/resolvable (analysis-time), as opposed to a genuine
-    write/commit failure (execution-time)."""
+    """True when an Iceberg ``writeTo`` failed because no Iceberg
+    catalog / data source is configured or resolvable (analysis-time
+    environment gap), as opposed to a genuine failure. An
+    AnalysisException alone is NOT sufficient (ADVICE r3): schema
+    mismatches, incompatible column types and table conflicts against a
+    CONFIGURED catalog are AnalysisExceptions too and must propagate —
+    so every path requires one of the catalog/data-source-missing
+    markers (error class or message text) before permitting the parquet
+    fallback."""
+    msg = str(e)
     try:
         from pyspark.errors import AnalysisException
 
         if isinstance(e, AnalysisException):
-            return True
+            # include the structured error class (Spark 3.4+) in the
+            # marker scan; non-Analysis exceptions scan the message only
+            get_cls = getattr(e, "getErrorClass", None)
+            cls = get_cls() if callable(get_cls) else None
+            if cls:
+                msg = f"{cls} {msg}"
     except ImportError:  # pragma: no cover
         pass
-    msg = str(e)
     markers = (
         "CATALOG_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND", "UnresolvedRelation",
         "is not a valid Spark catalog", "Cannot find catalog plugin",
         "DATA_SOURCE_NOT_FOUND", "Failed to find the data source: iceberg",
         "Multiple sources found for iceberg",
+        # the unconfigured-catalog symptom on a vanilla session: the
+        # catalog part of `<cat>.<ns>.<table>` doesn't resolve, so the
+        # identifier falls through to spark_catalog as a multi-part
+        # namespace it cannot represent
+        "REQUIRES_SINGLE_PART_NAMESPACE",
     )
     return any(m in msg for m in markers)
 

@@ -518,6 +518,28 @@ def test_connected_components_matches_union_find(spark, docs):
                    4: (1, False), 10: (10, True), 11: (10, False)}
 
 
+def test_connected_components_long_chain(spark):
+    """VERDICT r3 item 7 / ADVICE r3: a 1000-node PATH (adversarial
+    diameter — e.g. sequentially drifting near-dup versions where only
+    adjacent pairs are emitted) must converge within the default
+    max_iter thanks to the per-round pointer jump (label deficit
+    doubles per round: O(log L) rounds, ~11 for L=1000), where one-hop
+    propagation would need ~1000 rounds and raise."""
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    labels = {r.doc_id: r.component
+              for r in dd.connected_components(chain).collect()}
+    assert len(labels) == n + 1
+    assert set(labels.values()) == {0}
+    # and the cap+raise path still guards non-convergence
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        dd.connected_components(chain, max_iter=2)
+
+
 def test_deterministic_sampling_properties(spark, docs):
     """Hash-gated sampling: reproducible across repartitionings, nested
     across fractions, and per-stratum kept shares near their targets."""
