@@ -180,15 +180,101 @@ def decode_wav(data: bytes) -> tuple[int, int, int] | None:
         return None
 
 
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+# SOF markers carrying frame geometry: C0-CF minus C4 (DHT), C8 (JPG),
+# CC (DAC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int] | None:
+    """Parse JPEG (JFIF/EXIF) marker segments with the stdlib: returns
+    (width, height, crc32-of-payload) from the first SOF frame header,
+    or None when not a parseable JPEG. Header-level parse like the WAV
+    path — the entropy-coded scan is NOT decoded, so the checksum is
+    over the raw payload bytes (documented; PNG's is over real pixels).
+    Spec: the public JPEG interchange format (ITU T.81 §B)."""
+    import struct
+    import zlib
+
+    if not data.startswith(_JPEG_MAGIC):
+        return None
+    try:
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if marker in _JPEG_SOF:
+                if pos + 9 > len(data):
+                    return None
+                height, width = struct.unpack(">HH", data[pos + 5:pos + 9])
+                return width, height, zlib.crc32(bytes(data))
+            if marker == 0xDA:  # SOS reached without SOF: malformed
+                return None
+            pos += 2 + ln
+        return None
+    except Exception:
+        return None
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int] | None:
+    """Parse the GIF logical screen descriptor with the stdlib:
+    (width, height, crc32-of-payload), or None when not GIF87a/89a.
+    Spec: the public GIF89a specification §18."""
+    import struct
+    import zlib
+
+    if len(data) < 10 or data[:6] not in _GIF_MAGICS:
+        return None
+    try:
+        width, height = struct.unpack("<HH", data[6:10])
+        return width, height, zlib.crc32(bytes(data))
+    except Exception:
+        return None
+
+
+def is_media_magic(payload: bytes | None) -> bool:
+    """True when the payload starts with a magic number one of the real
+    decoders handles (the scalar twin of the vectorized pandas mask)."""
+    return payload is not None and (
+        payload[:8] == _PNG_MAGIC or payload[:4] == b"RIFF"
+        or payload[:3] == _JPEG_MAGIC or payload[:6] in _GIF_MAGICS
+    )
+
+
 def decode_media(payload: bytes) -> tuple[int, int, int] | None:
     """Route a payload to the real stdlib decoder it matches:
     PNG -> (width, height, pixel_crc32); WAV -> (n_frames, n_channels,
-    sample_rate as checksum stand-in). None -> caller uses the stub."""
+    sample_rate as checksum stand-in); JPEG/GIF -> (width, height,
+    payload_crc32). None -> caller uses the stub. A PIL/av deployment
+    extends THIS router additively — the stub fallback stays."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(bytes(payload))
     if payload[:4] == b"RIFF":
         return decode_wav(bytes(payload))
+    if payload[:3] == _JPEG_MAGIC:
+        return decode_jpeg(bytes(payload))
+    if payload[:6] in _GIF_MAGICS:
+        return decode_gif(bytes(payload))
     return None
+
+
+def _media_mask(payload: pd.Series):
+    """Vectorized magic sniff (ADVICE r3): pandas byte-slice comparisons
+    select rows any real decoder handles — zero per-row Python on
+    text-only batches. Scalar twin: is_media_magic."""
+    return ((payload.str[:8] == _PNG_MAGIC)
+            | (payload.str[:4] == b"RIFF")
+            | (payload.str[:3] == _JPEG_MAGIC)
+            | payload.str[:6].isin(_GIF_MAGICS)).to_numpy(dtype=bool)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -197,10 +283,12 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     Payloads with a recognized magic number decode for REAL via the
     pure-stdlib codecs (PNG: width/height/crc32 from actual unfiltered
-    pixels; WAV: frames/channels/rate from RIFF headers); everything
-    else takes the vectorized deterministic stub (same arithmetic the
-    DuckDB oracle reproduces — the oracle corpus is text payloads, so
-    the oracle never exercises the codec path)."""
+    pixels; WAV: frames/channels/rate from RIFF headers; JPEG: dims
+    from the SOF frame header; GIF: dims from the logical screen
+    descriptor); everything else takes the vectorized deterministic
+    stub (same arithmetic the DuckDB oracle reproduces — the oracle
+    corpus is text payloads, so the oracle never exercises the codec
+    path)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -214,9 +302,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             # vectorized magic sniff (ADVICE r3): a pandas byte-slice
             # mask picks media rows; the per-payload Python loop runs
             # ONLY over matches — zero iterations on text-only batches
-            is_media = ((pdf["payload"].str[:8] == _PNG_MAGIC)
-                        | (pdf["payload"].str[:4] == b"RIFF")).to_numpy(
-                            dtype=bool)
+            is_media = _media_mask(pdf["payload"])
             payloads = pdf["payload"].to_numpy()
             for i in np.nonzero(is_media)[0]:
                 real = decode_media(payloads[i])
@@ -259,9 +345,7 @@ def resize(media: DataFrame, target_w: int = 128, target_h: int = 96) -> DataFra
             # real-codec rows overwritten below via the magic-sniff mask
             w = (nv % 640 + 1).astype("int64")
             h = (nv % 480 + 1).astype("int64")
-            is_media = ((pdf["payload"].str[:8] == _PNG_MAGIC)
-                        | (pdf["payload"].str[:4] == b"RIFF")).to_numpy(
-                            dtype=bool)
+            is_media = _media_mask(pdf["payload"])
             payloads = pdf["payload"].to_numpy()
             for i in np.nonzero(is_media)[0]:
                 real = decode_media(payloads[i])

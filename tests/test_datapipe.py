@@ -381,6 +381,73 @@ def test_wav_decoder():
     assert mm.decode_wav(b"plain text") is None
 
 
+def _make_jpeg(w: int, h: int, progressive: bool = False) -> bytes:
+    """Minimal marker-level JPEG: SOI + APP0(JFIF) + DQT + SOF + EOI —
+    enough structure for the header parser (the entropy-coded scan is
+    not needed for geometry)."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof_marker = 0xC2 if progressive else 0xC0
+    sof = seg(sof_marker,
+              struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x22\x00"
+              + b"\x02\x11\x01" + b"\x03\x11\x01")
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
+def _make_gif(w: int, h: int, version: bytes = b"GIF89a") -> bytes:
+    import struct
+
+    return (version + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+            + b"\x3b")
+
+
+def test_jpeg_gif_decoders():
+    import zlib
+
+    jpg = _make_jpeg(640, 480)
+    assert mm.decode_jpeg(jpg) == (640, 480, zlib.crc32(jpg))
+    prog = _make_jpeg(31, 17, progressive=True)
+    assert mm.decode_jpeg(prog) == (31, 17, zlib.crc32(prog))
+    assert mm.decode_jpeg(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    assert mm.decode_jpeg(b"not a jpeg") is None
+    gif = _make_gif(12, 34)
+    assert mm.decode_gif(gif) == (12, 34, zlib.crc32(gif))
+    assert mm.decode_gif(_make_gif(5, 6, b"GIF87a"))[:2] == (5, 6)
+    assert mm.decode_gif(b"GIF88a\x01\x00\x01\x00") is None
+    # router + magic sniff agree across all four formats
+    for payload, expect in ((jpg, True), (gif, True),
+                            (b"plain text", False)):
+        assert mm.is_media_magic(payload) is expect
+        assert (mm.decode_media(payload) is not None) is expect
+
+
+def test_extract_features_jpeg_gif(spark):
+    """JPEG/GIF payloads produce real dimensions through the
+    mapInPandas kernel alongside PNG/WAV/stub rows."""
+    import zlib
+
+    jpg = _make_jpeg(101, 55)
+    gif = _make_gif(77, 33)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jpg), len(jpg)),
+         (2, "image", bytearray(gif), len(gif))],
+        "doc_id long, media_type string, payload binary, n_bytes long",
+    )
+    got = {r.doc_id: r for r in mm.extract_features(media).collect()}
+    assert (got[1].width, got[1].height, got[1].checksum) == (
+        101, 55, zlib.crc32(jpg))
+    assert (got[2].width, got[2].height, got[2].checksum) == (
+        77, 33, zlib.crc32(gif))
+    rz = {r.doc_id: r for r in mm.resize(media).collect()}
+    assert (rz[1].resized_w, rz[1].resized_h) == (101, 55)  # fits box
+    assert (rz[2].resized_w, rz[2].resized_h) == (77, 33)
+
+
 def test_extract_features_real_codecs(spark):
     """End-to-end: recognized payloads produce REAL dimensions through
     the mapInPandas kernel; unrecognized ones keep the deterministic
