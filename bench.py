@@ -18,18 +18,25 @@ in one invocation):
    is recorded per run as a share of the CPU time the run asked for
    (same formula as scripts/scaling_analysis.py). Runs with steal%
    above SPARK_GRAFT_STEAL_MAX (default 5%) are flagged STORMY and
-   RETRIED: each level keeps sampling until it has k clean runs or
-   exhausts k + extra attempts / its wall-clock budget. The reported
-   `wall` is min over CLEAN samples (min over all only if none were
-   clean, flagged via clean_samples=0).
- - The criterion levels local[2]/local[8] take k>=5 samples of the
-   HEADLINE criterion configuration; local[32] keeps k=3.
- - The headline eff(2->8) row is the `notext` (reference-faithful)
+   RETRIED within the budget. Reported walls are min over CLEAN
+   samples (min over all only if none were clean, flagged via
+   clean_samples).
+ - The eff(2->8) criterion uses MATCHED-WINDOW PAIRS
+   (run_criterion_pairs): both criterion levels stay resident as serve
+   children and timed runs alternate local[2] -> local[8]
+   back-to-back, so each ratio compares adjacent-in-time runs under
+   the same host weather; the headline is the MEDIAN over clean pairs.
+   Measured motivation: per-level min-of-k with independent windows
+   swings the ratio 0.6-1.0 because the same level drifts 137-220 s
+   between windows that are BOTH clean by steal% — one-sided microVM
+   slowdowns (host co-tenancy) are invisible to the steal counter, and
+   pairing across windows compares different machines in effect.
+ - The headline eff(2->8) rows are the `notext` (reference-faithful)
    configuration: the reference collector never retains raw request
    bodies (handlers/handler_common.go:33-45), and body retention is
    the dominant memory-bandwidth-bound load on a single box — the one
    resource a real N->4N EXECUTOR scale-up multiplies but a core
-   scale-up cannot. The full (text-retaining) pair is reported as a
+   scale-up cannot. Full (text-retaining) pairs are reported as a
    secondary row, and the headline throughput `value` stays the full
    pipeline at local[CPUS] (comparable to rounds 1-3).
 
@@ -321,6 +328,158 @@ def sample_runs(spark, path: str, rep: int, k: int, extra: int,
     }
 
 
+def serve_main(a: argparse.Namespace) -> None:
+    """Criterion-pair server: one resident JVM per criterion level; the
+    parent alternates timed runs between the two levels so every
+    efficiency ratio comes from ADJACENT-IN-TIME runs (matched host
+    weather). Protocol over a sync dir: child touches ready_<tag>,
+    parent writes go_<tag>_<j> (content: 'notext'|'full'), child runs
+    one timed pipeline and atomically writes res_<tag>_<j>; 'stop'
+    ends the loop. While the other level runs, this JVM is idle (~0
+    CPU), so residency does not contaminate the measurement."""
+    spark = new_session(a.master, a.rep)
+    if a.warmup_path:
+        log(f"== warm-up (untimed, {a.master}, 1/5-size input) ==")
+        timed_pipeline(spark, a.warmup_path, a.rep)
+        timed_pipeline(spark, a.warmup_path, a.rep, emit_text=False)
+    d, tag = a.sync_dir, a.tag
+    with open(os.path.join(d, f"ready_{tag}"), "w") as f:
+        f.write("ok")
+    j = 0
+    while True:
+        go = os.path.join(d, f"go_{tag}_{j}")
+        while not os.path.exists(go):
+            if os.path.exists(os.path.join(d, "stop")):
+                return
+            time.sleep(0.3)
+        with open(go) as f:
+            mode = f.read().strip() or "notext"
+        w, st = run_timed(timed_pipeline, spark, a.transcripts, a.rep,
+                          mode == "full")
+        log(f"{a.master} {mode} pair-run {j}: {w:.2f}s "
+            f"({a.n_turns / w:,.0f} turns/s, steal {st}%)")
+        tmp = os.path.join(d, f"res_{tag}_{j}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"wall": round(w, 3), "steal": st, "mode": mode}, f)
+        os.rename(tmp, os.path.join(d, f"res_{tag}_{j}"))
+        j += 1
+
+
+def run_criterion_pairs(transcripts: str, n_turns: int, warmup_path: str,
+                        k_pairs: int, k_full: int, budget: int) -> dict:
+    """Parent side of the matched-window criterion protocol: spawn BOTH
+    criterion levels as resident serve children, then alternate
+    local[2] -> local[8] timed runs back-to-back. Each adjacent pair
+    yields eff_j = wall2_j / (4 * wall8_j) under the same host weather;
+    the headline criterion is the MEDIAN over clean pairs (both runs'
+    steal% <= STEAL_MAX), which cross-window min-of-k pairing cannot
+    provide (measured: the same level drifts 137-220 s between 'clean'
+    windows, swinging the ratio 0.6-1.0 for reasons steal% alone does
+    not capture)."""
+    d = tempfile.mkdtemp(prefix="bench_pairs_")
+    info = {2: ("local[2]", 4), 8: ("local[8]", 16)}
+    procs: dict[int, subprocess.Popen] = {}
+    for cores, (master, rep) in info.items():
+        env = dict(os.environ)
+        if not env.get("SPARK_GRAFT_DRIVER_MEM"):
+            env["SPARK_GRAFT_DRIVER_MEM"] = level_heap(cores)
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--child", "--serve",
+            "--sync-dir", d, "--tag", str(cores), "--master", master,
+            "--rep", str(rep), "--transcripts", transcripts,
+            "--n-turns", str(n_turns), "--warmup-path", warmup_path,
+        ]
+        procs[cores] = subprocess.Popen(cmd, cwd=REPO, env=env,
+                                        stdout=subprocess.DEVNULL)
+    deadline = time.monotonic() + budget
+
+    def wait_file(path: str, timeout: float) -> bool:
+        t_end = time.monotonic() + timeout
+        while time.monotonic() < min(t_end, deadline):
+            if os.path.exists(path):
+                return True
+            if any(p.poll() is not None for p in procs.values()):
+                return False
+            time.sleep(0.5)
+        return False
+
+    out: dict = {"pairs": [], "pairs_full": []}
+    per = {c: {"walls": [], "steals": [], "walls_full": [],
+               "steals_full": []} for c in info}
+    try:
+        if not all(wait_file(os.path.join(d, f"ready_{c}"), 1200)
+                   for c in info):
+            log("criterion pair: serve children failed to come up")
+            return out
+        j = 0
+        clean_nt = clean_full = 0
+        full_start = None
+        mode = "notext"
+        while time.monotonic() < deadline - 300:
+            if mode == "notext" and (clean_nt >= k_pairs or j >= k_pairs + 3):
+                mode, full_start = "full", j
+            if mode == "full" and full_start is None:
+                full_start = j
+            if mode == "full" and (clean_full >= k_full
+                                   or j - full_start >= k_full + 2):
+                break
+            pair = {}
+            ok = True
+            for cores in (2, 8):  # local[2] first: the longer leg anchors the window
+                with open(os.path.join(d, f"go_{cores}_{j}"), "w") as f:
+                    f.write(mode)
+                if not wait_file(os.path.join(d, f"res_{cores}_{j}"), 900):
+                    log(f"criterion pair {j}: local[{cores}] timed out/died")
+                    ok = False
+                    break
+                with open(os.path.join(d, f"res_{cores}_{j}")) as f:
+                    pair[cores] = json.load(f)
+            if not ok:
+                break
+            clean = all(pair[c]["steal"] <= STEAL_MAX for c in (2, 8))
+            eff = round(pair[2]["wall"] / (4 * pair[8]["wall"]), 3)
+            rec = {
+                "wall2": pair[2]["wall"], "wall8": pair[8]["wall"],
+                "steal2": pair[2]["steal"], "steal8": pair[8]["steal"],
+                "eff": eff, "clean": clean, "mode": mode,
+            }
+            log(f"criterion pair {j} ({mode}): eff(2->8)={eff} "
+                f"[{pair[2]['wall']}s / {pair[8]['wall']}s] "
+                f"steal {pair[2]['steal']}%/{pair[8]['steal']}%"
+                f"{'' if clean else ' STORMY'}")
+            suffix = "" if mode == "notext" else "_full"
+            for c in (2, 8):
+                per[c]["walls" + suffix].append(pair[c]["wall"])
+                per[c]["steals" + suffix].append(pair[c]["steal"])
+            if mode == "notext":
+                out["pairs"].append(rec)
+                clean_nt += clean
+            else:
+                out["pairs_full"].append(rec)
+                clean_full += clean
+            j += 1
+    finally:
+        with open(os.path.join(d, "stop"), "w") as f:
+            f.write("stop")
+        for p in procs.values():
+            try:
+                p.wait(timeout=60)
+            except Exception:
+                p.kill()
+        shutil.rmtree(d, ignore_errors=True)
+    out["per_level"] = per
+    return out
+
+
+def _median(xs: list[float]) -> float | None:
+    if not xs:
+        return None
+    s = sorted(xs)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 3)
+
+
 def child_main(a: argparse.Namespace) -> None:
     deadline = time.monotonic() + a.budget if a.budget else 0.0
     spark = new_session(a.master, a.rep)
@@ -406,66 +565,61 @@ def main() -> None:
     transcripts_path = ensure_transcripts(n_turns)
     warmup_path = ensure_transcripts(max(20_000, n_turns // 5))
 
-    # (master, cores, rep, k_full, k_notext, extras, timeout_s).
-    # Criterion levels local[2]/local[8] take k=5 clean notext samples
-    # (the headline eff(2->8) row) + k=2 clean full samples; the
-    # headline local[N] takes k=3 clean full samples. Stormy samples
-    # (steal% > STEAL_MAX) are flagged and retried, up to 3 extra
-    # attempts per series, within each level's wall-clock budget.
-    levels = [
-        (f"local[{CPUS}]", CPUS, 2 * CPUS, 3, 0, True, 2400),
-        ("local[8]", 8, 16, 2, 5, False, 2400),
-        ("local[2]", 2, 4, 2, 5, False, 3900),
-    ]
-    # when CPUS is 8 (or 2) the headline level doubles as a criterion
-    # level: keep the first (extras-carrying) entry but give it the
-    # criterion notext series too
-    if CPUS in (2, 8):
-        levels[0] = (f"local[{CPUS}]", CPUS, 2 * CPUS, 3, 5, True, 3900)
-    seen_cores: set[int] = set()
-    levels = [lv for lv in levels
-              if lv[1] not in seen_cores and not seen_cores.add(lv[1])]
-    # global wall-clock budget: a storm-heavy run must not balloon past
-    # what the invoking driver tolerates — remaining levels get their
-    # timeout clamped to the leftover budget, and once <300 s remain
-    # the level is skipped (the final record always prints, partial
-    # beats absent)
+    # Global wall-clock budget: a storm-heavy run must not balloon past
+    # what the invoking driver tolerates; the record always prints with
+    # whatever completed (partial beats absent).
     bench_budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "7200"))
     t_start = time.monotonic()
     results: dict[int, dict] = {}
     failed: list[str] = []
-    for master, cores, rep, k, k_notext, extras, timeout in levels:
-        remaining = bench_budget - (time.monotonic() - t_start)
-        if remaining < 300:
-            log(f"{master}: skipped — global bench budget "
-                f"({bench_budget}s) exhausted")
-            failed.append(f"{master} (budget)")
-            continue
-        r = spawn_level(master, cores, rep, k, k_notext, transcripts_path,
-                        n_turns, warmup_path, extras,
-                        min(timeout, int(remaining)))
-        if r is None:
-            failed.append(master)
-        else:
-            results[cores] = r
+
+    # 1) headline level: local[CPUS], k=3 clean samples, extras
+    #    (sink-write wall, skew salt variant, query walls)
+    r = spawn_level(f"local[{CPUS}]", CPUS, 2 * CPUS, 3, 0,
+                    transcripts_path, n_turns, warmup_path, True,
+                    min(2400, bench_budget))
+    if r is None:
+        failed.append(f"local[{CPUS}]")
+    else:
+        results[CPUS] = r
+
+    # 2) criterion pair local[2] vs local[8]: BOTH levels resident,
+    #    timed runs alternated back-to-back so each efficiency ratio is
+    #    computed under matched host weather (see run_criterion_pairs)
+    remaining = bench_budget - (time.monotonic() - t_start)
+    pairs: dict = {}
+    if remaining > 900:
+        pairs = run_criterion_pairs(transcripts_path, n_turns, warmup_path,
+                                    k_pairs=4, k_full=2,
+                                    budget=int(remaining) - 120)
+    else:
+        failed.append("criterion-pair (budget)")
+    per = pairs.get("per_level", {})
+
+    def lvl_wall(cores: int, suffix: str = "") -> float | None:
+        w = per.get(cores, {}).get("walls" + suffix, [])
+        s = per.get(cores, {}).get("steals" + suffix, [])
+        clean = [x for x, y in zip(w, s) if y <= STEAL_MAX]
+        return min(clean) if clean else (min(w) if w else None)
 
     def wall(cores: int) -> float | None:
-        return results[cores]["wall"] if cores in results else None
+        if cores in results:
+            return results[cores]["wall"]
+        return lvl_wall(cores, "_full")
 
     def thr(cores: int) -> float | None:
         w = wall(cores)
         return round(n_turns / w, 1) if w else None
 
-    def nt_wall(cores: int) -> float | None:
-        return results.get(cores, {}).get("wall_notext")
+    def pair_eff(key: str) -> tuple[float | None, int]:
+        ps = pairs.get(key, [])
+        clean = [p["eff"] for p in ps if p["clean"]]
+        if clean:
+            return _median(clean), len(clean)
+        return _median([p["eff"] for p in ps]), 0
 
-    eff_notext = (
-        round((nt_wall(2) / nt_wall(8)) / 4, 3)
-        if nt_wall(2) and nt_wall(8) else None
-    )
-    eff_fulltext = (
-        round((thr(8) / thr(2)) / 4, 3) if thr(2) and thr(8) else None
-    )
+    eff_notext, n_clean_nt = pair_eff("pairs")
+    eff_fulltext, n_clean_full = pair_eff("pairs_full")
     full = results.get(CPUS, {})
     record = {
         "metric": "e2e_pipeline_turns_per_sec",
@@ -483,46 +637,53 @@ def main() -> None:
         "turns_per_sec_local2": thr(2),
         "turns_per_sec_local8": thr(8),
         f"turns_per_sec_local{CPUS}": thr(CPUS),
-        "walls_local2": results.get(2, {}).get("walls"),
-        "walls_local8": results.get(8, {}).get("walls"),
+        "walls_local2": per.get(2, {}).get("walls_full"),
+        "walls_local8": per.get(8, {}).get("walls_full"),
         f"walls_local{CPUS}": results.get(CPUS, {}).get("walls"),
-        # HEADLINE criterion row: notext (reference-faithful) pair —
-        # see module docstring "Storm robustness"
+        # HEADLINE criterion row: median eff over CLEAN matched-window
+        # pairs, notext (reference-faithful) configuration — see
+        # run_criterion_pairs
         "scaling_efficiency_2_to_8": eff_notext,
         "scaling_efficiency_2_to_8_notext": eff_notext,
         "scaling_efficiency_2_to_8_fulltext": eff_fulltext,
+        "criterion_pairs": pairs.get("pairs"),
+        "criterion_pairs_full": pairs.get("pairs_full"),
+        "criterion_clean_pairs": n_clean_nt,
         "criterion_note": (
-            "headline eff(2->8) is the notext configuration: the "
-            "reference collector never retains raw bodies "
+            "eff(2->8) = median over clean MATCHED-WINDOW pairs: both "
+            "criterion levels stay resident and timed runs alternate "
+            "back-to-back, so each ratio compares adjacent-in-time runs "
+            "(cross-window pairing swings the ratio 0.6-1.0 on this "
+            "host). Headline is the notext configuration: the reference "
+            "collector never retains raw bodies "
             "(handlers/handler_common.go:33-45); the text-retaining "
-            "pair is reported as scaling_efficiency_2_to_8_fulltext"
+            "pairs are scaling_efficiency_2_to_8_fulltext"
         ),
-        "walls_notext_local2": results.get(2, {}).get("walls_notext"),
-        "walls_notext_local8": results.get(8, {}).get("walls_notext"),
-        "wall_notext_local2": nt_wall(2),
-        "wall_notext_local8": nt_wall(8),
+        "walls_notext_local2": per.get(2, {}).get("walls"),
+        "walls_notext_local8": per.get(8, {}).get("walls"),
+        "wall_notext_local2": lvl_wall(2),
+        "wall_notext_local8": lvl_wall(8),
         f"scaling_efficiency_8_to_{CPUS}": (
             round((thr(CPUS) / thr(8)) / (CPUS / 8), 3)
             if thr(8) and thr(CPUS) else None
         ),
         # per-run hypervisor-steal annotations (storm evidence)
         "steal_max_pct": STEAL_MAX,
-        "steal_local2": results.get(2, {}).get("steal"),
-        "steal_local8": results.get(8, {}).get("steal"),
+        "steal_local2": per.get(2, {}).get("steals_full"),
+        "steal_local8": per.get(8, {}).get("steals_full"),
         f"steal_local{CPUS}": results.get(CPUS, {}).get("steal"),
-        "steal_notext_local2": results.get(2, {}).get("steal_notext"),
-        "steal_notext_local8": results.get(8, {}).get("steal_notext"),
+        "steal_notext_local2": per.get(2, {}).get("steals"),
+        "steal_notext_local8": per.get(8, {}).get("steals"),
         "clean_samples": {
-            "local2": results.get(2, {}).get("clean"),
-            "local8": results.get(8, {}).get("clean"),
             f"local{CPUS}": results.get(CPUS, {}).get("clean"),
-            "notext_local2": results.get(2, {}).get("clean_notext"),
-            "notext_local8": results.get(8, {}).get("clean_notext"),
+            "criterion_pairs_notext": n_clean_nt,
+            "criterion_pairs_full": n_clean_full,
         },
         "storm_policy": (
-            f"runs with /proc/stat steal% > {STEAL_MAX} flagged stormy "
-            "and retried (up to 3 extra per series); reported walls are "
-            "min over clean samples"
+            f"runs with /proc/stat steal% > {STEAL_MAX} flagged stormy; "
+            "headline-level samples retried (up to 3 extra), criterion "
+            "pairs resampled until 4 clean pairs or budget; walls are "
+            "min over clean samples, eff is median over clean pairs"
         ),
         "sink_write_sec": full.get("write_wall"),
         # skew variant (salted vs unsalted, hot_frac=0.3 input)
@@ -588,8 +749,8 @@ def _append_baseline_md(rec: dict) -> None:
             )
         cs = rec.get("clean_samples") or {}
         clean_str = "/".join(str(cs.get(k, "-")) for k in
-                             ("local2", "local8", f"local{cpus}",
-                              "notext_local2", "notext_local8"))
+                             (f"local{cpus}", "criterion_pairs_notext",
+                              "criterion_pairs_full"))
         skew = (f"{g('skew_salt_on_sec')}/{g('skew_salt_off_sec')}"
                 if rec.get("skew_salt_on_sec") else "-")
         f.write(
@@ -607,6 +768,9 @@ def _append_baseline_md(rec: dict) -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", action="store_true")
+    ap.add_argument("--serve", action="store_true")
+    ap.add_argument("--sync-dir", default="")
+    ap.add_argument("--tag", default="")
     ap.add_argument("--master")
     ap.add_argument("--rep", type=int)
     ap.add_argument("--k", type=int, default=2)
@@ -617,7 +781,9 @@ if __name__ == "__main__":
     ap.add_argument("--budget", type=int, default=0)
     ap.add_argument("--extras", action="store_true")
     args = ap.parse_args()
-    if args.child:
+    if args.serve:
+        serve_main(args)
+    elif args.child:
         child_main(args)
     else:
         main()

@@ -72,6 +72,18 @@ def get_spark(
     if driver_mem:
         conf["spark.driver.memory"] = driver_mem
         driver_opts += " -XX:+AlwaysPreTouch"
+    # Executor-emulation fairness (bench): JVM GC worker threads default
+    # to the HOST's cpu count (32 here) regardless of local[N], so a
+    # local[2] "executor" gets 32-thread GC pauses a real 2-core node
+    # never would — inflating small-level throughput and deflating the
+    # measured N->4N efficiency. SPARK_GRAFT_GC_THREADS=N pins
+    # ParallelGCThreads (+ConcGCThreads for G1) to the level's core
+    # count so each local[N] JVM behaves like an N-core executor.
+    gc_threads = os.environ.get("SPARK_GRAFT_GC_THREADS")
+    if gc_threads:
+        n = max(1, int(gc_threads))
+        driver_opts += (f" -XX:ParallelGCThreads={n}"
+                        f" -XX:ConcGCThreads={max(1, n // 4)}")
     conf["spark.driver.extraJavaOptions"] = driver_opts
     conf["spark.executor.extraJavaOptions"] = "-Xss16m"
     if extra_conf:
