@@ -21,16 +21,24 @@ in one invocation):
    RETRIED within the budget. Reported walls are min over CLEAN
    samples (min over all only if none were clean, flagged via
    clean_samples).
- - The eff(2->8) criterion uses MATCHED-WINDOW PAIRS
+ - The eff(2->8) criterion uses MATCHED-WINDOW SANDWICH PAIRS
    (run_criterion_pairs): both criterion levels stay resident as serve
-   children and timed runs alternate local[2] -> local[8]
-   back-to-back, so each ratio compares adjacent-in-time runs under
-   the same host weather; the headline is the MEDIAN over clean pairs.
-   Measured motivation: per-level min-of-k with independent windows
-   swings the ratio 0.6-1.0 because the same level drifts 137-220 s
-   between windows that are BOTH clean by steal% — one-sided microVM
-   slowdowns (host co-tenancy) are invisible to the steal counter, and
-   pairing across windows compares different machines in effect.
+   children; each pair runs local[8], then local[2], then local[8]
+   again, and eff = wall2 / (4 * mean(wall8_before, wall8_after)) —
+   the divisor is the host's speed interpolated across the exact
+   window the local[2] leg occupied, with a drift guard (>25%
+   disagreement between the two 8-legs flags the pair). The headline
+   is the MEDIAN over clean pairs. Measured motivation: per-level
+   min-of-k with independent windows swings the ratio 0.49-1.12
+   because the host drifts 1.6x between windows that are BOTH clean
+   by steal% — one-sided microVM slowdowns (co-tenancy) are invisible
+   to the steal counter.
+ - Each level child pins CPU AFFINITY to its core count (pin_affinity)
+   and its GC thread count (session.py SPARK_GRAFT_GC_THREADS): an
+   unpinned local[2] JVM runs GC/netty/background threads on all 32
+   host CPUs (measured 1.3-1.7x the level's core budget during
+   fan-out), over-performing a real 2-core executor node and
+   deflating the measured N->4N efficiency.
  - The headline eff(2->8) rows are the `notext` (reference-faithful)
    configuration: the reference collector never retains raw request
    bodies (handlers/handler_common.go:33-45), and body retention is
@@ -87,6 +95,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -161,14 +170,36 @@ def ensure_transcripts(n: int, hot_frac: float = 0.1) -> str:
     cache = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
     tag = "" if hot_frac == 0.1 else f"_h{int(hot_frac * 100)}"
-    path = os.path.join(cache, f"transcripts_n{n}{tag}.parquet")
+    # _rg64 marks the fine-row-group layout (fixtures.py row_group_size):
+    # the old single-file/3-row-group fixture capped scan parallelism at
+    # 3 tasks and idled most cores during the scan+shuffle stage.
+    path = os.path.join(cache, f"transcripts_n{n}{tag}_rg64.parquet")
     if not os.path.exists(path):
         log(f"generating {n} fixture turns (hot_frac={hot_frac}) -> {path}")
         write_transcripts_parquet(path, n, seed=42, hot_frac=hot_frac)
     return path
 
 
-def new_session(master: str, shuffle_partitions: int):
+def pin_affinity(cores: int) -> None:
+    """Executor-node emulation: bind this process (and every descendant
+    — the JVM and its Python parse workers inherit the mask) to exactly
+    ``cores`` host CPUs. Without it a local[2] JVM schedules its GC,
+    netty/shuffle and background threads on ALL 32 host CPUs (measured
+    system-wide cpu_util up to 1.7x the level's core budget during the
+    fan-out phase), so small levels over-perform vs a real 2-core
+    executor node and the measured N->4N efficiency is deflated.
+    Opt-out: SPARK_GRAFT_AFFINITY=0."""
+    if os.environ.get("SPARK_GRAFT_AFFINITY", "1") == "0":
+        return
+    try:
+        avail = sorted(os.sched_getaffinity(0))
+        os.sched_setaffinity(0, set(avail[:cores]))
+    except (AttributeError, OSError) as e:  # non-Linux / restricted
+        log(f"affinity pin skipped: {e}")
+
+
+def new_session(master: str, shuffle_partitions: int,
+                input_bytes: int | None = None):
     from pyspark.sql import SparkSession
 
     from sqlite_otel_spark.session import get_spark
@@ -176,8 +207,20 @@ def new_session(master: str, shuffle_partitions: int):
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+    extra = {}
+    m = re.search(r"local\[(\d+)\]", master)
+    if input_bytes and m:
+        # Size scan splits so the input fans out over every core (~4
+        # splits/core) instead of the global 128m default, which gave a
+        # 190 MB fixture two byte-range splits at every level. Real
+        # deployments get this for free from many-file tables; clamp to
+        # [4m, 128m] so tiny fixtures don't degenerate.
+        cores = int(m.group(1))
+        mpb = min(128 * 2**20, max(4 * 2**20, input_bytes // (4 * cores)))
+        extra["spark.sql.files.maxPartitionBytes"] = str(mpb)
     spark = get_spark(app_name=f"bench-{master}", master=master,
-                      shuffle_partitions=shuffle_partitions)
+                      shuffle_partitions=shuffle_partitions,
+                      extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -337,7 +380,11 @@ def serve_main(a: argparse.Namespace) -> None:
     one timed pipeline and atomically writes res_<tag>_<j>; 'stop'
     ends the loop. While the other level runs, this JVM is idle (~0
     CPU), so residency does not contaminate the measurement."""
-    spark = new_session(a.master, a.rep)
+    m = re.search(r"local\[(\d+)\]", a.master)
+    if m:
+        pin_affinity(int(m.group(1)))
+    spark = new_session(a.master, a.rep,
+                        input_bytes=os.path.getsize(a.transcripts))
     if a.warmup_path:
         log(f"== warm-up (untimed, {a.master}, 1/5-size input) ==")
         timed_pipeline(spark, a.warmup_path, a.rep)
@@ -368,14 +415,16 @@ def serve_main(a: argparse.Namespace) -> None:
 def run_criterion_pairs(transcripts: str, n_turns: int, warmup_path: str,
                         k_pairs: int, k_full: int, budget: int) -> dict:
     """Parent side of the matched-window criterion protocol: spawn BOTH
-    criterion levels as resident serve children, then alternate
-    local[2] -> local[8] timed runs back-to-back. Each adjacent pair
-    yields eff_j = wall2_j / (4 * wall8_j) under the same host weather;
-    the headline criterion is the MEDIAN over clean pairs (both runs'
-    steal% <= STEAL_MAX), which cross-window min-of-k pairing cannot
-    provide (measured: the same level drifts 137-220 s between 'clean'
-    windows, swinging the ratio 0.6-1.0 for reasons steal% alone does
-    not capture)."""
+    criterion levels as resident serve children (each affinity- and
+    GC-thread-pinned to its core count), then run SANDWICH pairs
+    local[8] -> local[2] -> local[8]. Each pair yields
+    eff = wall2 / (4 * mean(wall8_before, wall8_after)): the divisor
+    interpolates the host's speed across the exact window the local[2]
+    leg occupied, and a >25% disagreement between the bracketing
+    8-legs flags the pair unclean (host changed speed mid-window).
+    Headline criterion = MEDIAN over clean pairs. Cross-window
+    min-of-k pairing cannot provide this (measured: walls drift 1.6x
+    between windows that are both clean by steal%)."""
     d = tempfile.mkdtemp(prefix="bench_pairs_")
     info = {2: ("local[2]", 4), 8: ("local[8]", 16)}
     procs: dict[int, subprocess.Popen] = {}
@@ -383,6 +432,7 @@ def run_criterion_pairs(transcripts: str, n_turns: int, warmup_path: str,
         env = dict(os.environ)
         if not env.get("SPARK_GRAFT_DRIVER_MEM"):
             env["SPARK_GRAFT_DRIVER_MEM"] = level_heap(cores)
+        env.setdefault("SPARK_GRAFT_GC_THREADS", str(cores))
         cmd = [
             sys.executable, os.path.abspath(__file__), "--child", "--serve",
             "--sync-dir", d, "--tag", str(cores), "--master", master,
@@ -406,58 +456,79 @@ def run_criterion_pairs(transcripts: str, n_turns: int, warmup_path: str,
     out: dict = {"pairs": [], "pairs_full": []}
     per = {c: {"walls": [], "steals": [], "walls_full": [],
                "steals_full": []} for c in info}
+    nxt = {c: 0 for c in info}
+
+    def leg(cores: int, mode: str) -> dict | None:
+        j = nxt[cores]
+        nxt[cores] += 1
+        with open(os.path.join(d, f"go_{cores}_{j}"), "w") as f:
+            f.write(mode)
+        if not wait_file(os.path.join(d, f"res_{cores}_{j}"), 900):
+            log(f"criterion leg local[{cores}] #{j} timed out/died")
+            return None
+        with open(os.path.join(d, f"res_{cores}_{j}")) as f:
+            return json.load(f)
+
     try:
         if not all(wait_file(os.path.join(d, f"ready_{c}"), 1200)
                    for c in info):
             log("criterion pair: serve children failed to come up")
             return out
-        j = 0
-        clean_nt = clean_full = 0
-        full_start = None
+        pair_i = 0
+        clean_nt = clean_full = attempts_full = 0
         mode = "notext"
         while time.monotonic() < deadline - 300:
-            if mode == "notext" and (clean_nt >= k_pairs or j >= k_pairs + 3):
-                mode, full_start = "full", j
-            if mode == "full" and full_start is None:
-                full_start = j
+            if mode == "notext" and (clean_nt >= k_pairs
+                                     or pair_i >= k_pairs + 3):
+                mode = "full"
             if mode == "full" and (clean_full >= k_full
-                                   or j - full_start >= k_full + 2):
+                                   or attempts_full >= k_full + 2):
                 break
-            pair = {}
-            ok = True
-            for cores in (2, 8):  # local[2] first: the longer leg anchors the window
-                with open(os.path.join(d, f"go_{cores}_{j}"), "w") as f:
-                    f.write(mode)
-                if not wait_file(os.path.join(d, f"res_{cores}_{j}"), 900):
-                    log(f"criterion pair {j}: local[{cores}] timed out/died")
-                    ok = False
-                    break
-                with open(os.path.join(d, f"res_{cores}_{j}")) as f:
-                    pair[cores] = json.load(f)
-            if not ok:
+            # SANDWICH legs 8,2,8: the short level runs immediately
+            # before AND after the long local[2] leg, so the divisor is
+            # the host's speed interpolated across the exact window the
+            # local[2] leg occupied. A plain 2->8 sequence still let
+            # one-sided host drift (invisible to steal%) swing the
+            # ratio 0.49-0.90 between adjacent pairs.
+            l8a = leg(8, mode)
+            l2 = leg(2, mode) if l8a else None
+            l8b = leg(8, mode) if l2 else None
+            if not (l8a and l2 and l8b):
                 break
-            clean = all(pair[c]["steal"] <= STEAL_MAX for c in (2, 8))
-            eff = round(pair[2]["wall"] / (4 * pair[8]["wall"]), 3)
+            w8 = (l8a["wall"] + l8b["wall"]) / 2
+            steal8 = max(l8a["steal"], l8b["steal"])
+            # drift guard: the two 8-legs bracketing the window should
+            # agree; >25% disagreement means the host changed speed
+            # mid-window and the interpolation is unreliable
+            drift = abs(l8a["wall"] - l8b["wall"]) / max(
+                l8a["wall"], l8b["wall"])
+            clean = (l2["steal"] <= STEAL_MAX and steal8 <= STEAL_MAX
+                     and drift <= 0.25)
+            eff = round(l2["wall"] / (4 * w8), 3)
             rec = {
-                "wall2": pair[2]["wall"], "wall8": pair[8]["wall"],
-                "steal2": pair[2]["steal"], "steal8": pair[8]["steal"],
+                "wall2": l2["wall"], "wall8a": l8a["wall"],
+                "wall8b": l8b["wall"], "steal2": l2["steal"],
+                "steal8": steal8, "drift8": round(drift, 3),
                 "eff": eff, "clean": clean, "mode": mode,
             }
-            log(f"criterion pair {j} ({mode}): eff(2->8)={eff} "
-                f"[{pair[2]['wall']}s / {pair[8]['wall']}s] "
-                f"steal {pair[2]['steal']}%/{pair[8]['steal']}%"
+            log(f"criterion pair {pair_i} ({mode}): eff(2->8)={eff} "
+                f"[{l2['wall']}s / ({l8a['wall']}+{l8b['wall']})/2] "
+                f"steal {l2['steal']}%/{steal8}% drift {drift:.0%}"
                 f"{'' if clean else ' STORMY'}")
             suffix = "" if mode == "notext" else "_full"
-            for c in (2, 8):
-                per[c]["walls" + suffix].append(pair[c]["wall"])
-                per[c]["steals" + suffix].append(pair[c]["steal"])
+            per[2]["walls" + suffix].append(l2["wall"])
+            per[2]["steals" + suffix].append(l2["steal"])
+            for l8 in (l8a, l8b):
+                per[8]["walls" + suffix].append(l8["wall"])
+                per[8]["steals" + suffix].append(l8["steal"])
             if mode == "notext":
                 out["pairs"].append(rec)
                 clean_nt += clean
             else:
                 out["pairs_full"].append(rec)
                 clean_full += clean
-            j += 1
+                attempts_full += 1
+            pair_i += 1
     finally:
         with open(os.path.join(d, "stop"), "w") as f:
             f.write("stop")
@@ -482,7 +553,11 @@ def _median(xs: list[float]) -> float | None:
 
 def child_main(a: argparse.Namespace) -> None:
     deadline = time.monotonic() + a.budget if a.budget else 0.0
-    spark = new_session(a.master, a.rep)
+    m = re.search(r"local\[(\d+)\]", a.master)
+    if m:
+        pin_affinity(int(m.group(1)))
+    spark = new_session(a.master, a.rep,
+                        input_bytes=os.path.getsize(a.transcripts))
     if a.warmup_path:
         log(f"== warm-up (untimed, {a.master}, 1/5-size input) ==")
         timed_pipeline(spark, a.warmup_path, a.rep)
@@ -540,6 +615,7 @@ def spawn_level(master: str, cores: int, rep: int, k: int, k_notext: int,
     env = dict(os.environ)
     if not env.get("SPARK_GRAFT_DRIVER_MEM"):
         env["SPARK_GRAFT_DRIVER_MEM"] = level_heap(cores)
+    env.setdefault("SPARK_GRAFT_GC_THREADS", str(cores))
     try:
         p = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
                            timeout=timeout, cwd=REPO, env=env)
@@ -583,9 +659,9 @@ def main() -> None:
     else:
         results[CPUS] = r
 
-    # 2) criterion pair local[2] vs local[8]: BOTH levels resident,
-    #    timed runs alternated back-to-back so each efficiency ratio is
-    #    computed under matched host weather (see run_criterion_pairs)
+    # 2) criterion pairs local[2] vs local[8]: BOTH levels resident,
+    #    each pair a local[8]/local[2]/local[8] sandwich so the ratio
+    #    is computed under matched host weather (run_criterion_pairs)
     remaining = bench_budget - (time.monotonic() - t_start)
     pairs: dict = {}
     if remaining > 900:
@@ -650,11 +726,13 @@ def main() -> None:
         "criterion_pairs_full": pairs.get("pairs_full"),
         "criterion_clean_pairs": n_clean_nt,
         "criterion_note": (
-            "eff(2->8) = median over clean MATCHED-WINDOW pairs: both "
-            "criterion levels stay resident and timed runs alternate "
-            "back-to-back, so each ratio compares adjacent-in-time runs "
-            "(cross-window pairing swings the ratio 0.6-1.0 on this "
-            "host). Headline is the notext configuration: the reference "
+            "eff(2->8) = median over clean SANDWICH pairs "
+            "(local[8]/local[2]/local[8]; divisor = mean of the two "
+            "bracketing 8-legs = host speed interpolated over the "
+            "2-leg's window; >25% 8-leg disagreement flags the pair). "
+            "Each level JVM is affinity- and GC-thread-pinned to its "
+            "core count so local[N] behaves like an N-core executor "
+            "node. Headline is the notext configuration: the reference "
             "collector never retains raw bodies "
             "(handlers/handler_common.go:33-45); the text-retaining "
             "pairs are scaling_efficiency_2_to_8_fulltext"
