@@ -247,3 +247,99 @@ def rolling_fingerprint_col(text: Column) -> Column:
             lambda acc, c: (acc * 31 + c) % F.lit(ROLLING_M),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus cleaning: normalization, PII redaction, chunking (round 4).
+# All pure Catalyst — regexp/array expressions in whole-stage codegen,
+# no Python in the hot path; each has an exact DuckDB twin (patterns
+# restricted to the Java-regex ∩ RE2 common subset: no lookarounds, \b
+# and \xNN escapes behave identically, and \s is applied only after
+# control characters — where the two dialects' \s definitions differ
+# on \x0B — have been mapped to spaces).
+# --------------------------------------------------------------------------
+
+_TAG_RE = "<[^>]*>"
+# controls EXCEPT \t \n \r (those are whitespace in both dialects and
+# are handled by the \s+ collapse); includes \x0B \x0C where Java \s
+# and RE2 \s disagree.
+_CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Cleaning normalizer for corpus prep: strip HTML-ish tags, map
+    non-whitespace control characters to spaces, collapse whitespace
+    runs to one space, trim. A regexp_replace chain the optimizer
+    keeps in one codegen stage — parquet-speed at 100 TB. (Unicode NFC
+    is intentionally out of scope: no JVM built-in exists and a Python
+    UDF here would put the hot path back in Python.)"""
+    no_tags = F.regexp_replace(text, _TAG_RE, " ")
+    no_ctrl = F.regexp_replace(no_tags, _CTRL_RE, " ")
+    return F.trim(F.regexp_replace(no_ctrl, "\\s+", " "))
+
+
+# (name, pattern, replacement): applied in ORDER — email first (its
+# local part may contain digits a later pattern could clip), then
+# ipv4 (dots exclude it from the phone class), then phone (requires a
+# leading '+' to stay conservative: plain digit runs are NOT treated
+# as PII). Counting uses the same patterns on the ORIGINAL text.
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+     "<IP>"),
+    ("phone", "\\+[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_redact_col(text: Column) -> Column:
+    """Redact emails / IPv4 addresses / international-format phone
+    numbers with typed placeholders (training-data scrubbing stage)."""
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """Per-type match counts on the un-redacted text (audit columns)."""
+    return {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        ).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def chunk_docs(docs, chunk_size: int = 32, overlap: int = 8,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into overlapping token windows (the standard
+    LLM training-prep chunking): chunk i covers tokens
+    [i*stride, i*stride + chunk_size) with stride = chunk_size -
+    overlap; the last chunk may be short; an empty document yields one
+    empty chunk (so no document silently disappears). Tokenization is
+    the shared ``tokens_col`` regex mode.
+
+    Scale shape: tokenize once per row, ``explode(sequence(...))`` to
+    one row per chunk, ``slice`` + ``concat_ws`` per chunk — all JVM
+    array expressions, no shuffle (the explode preserves input
+    partitioning), output rows ≈ total_tokens/stride.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens_col(F.col(text_col))
+    d = docs.select(id_col, toks.alias("toks"), F.size(toks).alias("n_tok"))
+    n_chunks = F.when(F.col("n_tok") <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((F.col("n_tok") - F.lit(chunk_size)) / F.lit(float(stride)))
+        .cast("int") + 1
+    )
+    d = d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0),
+                                                       n_chunks - 1)))
+    chunk_toks = F.slice(F.col("toks"),
+                         F.col("chunk_idx") * stride + 1, chunk_size)
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk_toks).cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+    )

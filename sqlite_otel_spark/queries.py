@@ -1937,6 +1937,145 @@ def a6_run_manifest(spark, sf_dir):
         _shutil.rmtree(out, ignore_errors=True)
 
 
+# ===========================================================================
+# Corpus cleaning ops (round 4): normalization, PII redaction, chunking.
+# The fixture corpus carries no tags/PII, so the normalize/PII queries
+# first AUGMENT each document deterministically from its own doc_id —
+# identically in the Spark expression and the DuckDB oracle — so the
+# value-hash compares real redactions/normalizations, not no-ops.
+# ===========================================================================
+
+
+@q(
+    "dp_text_normalize",
+    """
+    WITH aug AS (
+      SELECT doc_id, '<p> ' || text || ' </p>' || chr(9) || '<br/>  x' AS t
+      FROM documents
+    ), n AS (
+      SELECT doc_id, t,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '<[^>]*>', ' ', 'g'),
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text
+      FROM aug
+    )
+    SELECT doc_id, CAST(length(t) AS BIGINT) AS len_before,
+           CAST(length(norm_text) AS BIGINT) AS len_after, norm_text
+    FROM n ORDER BY doc_id
+    """,
+)
+def dp_text_normalize(spark, sf_dir):
+    """Corpus cleaning normalizer (tag strip, control-char strip,
+    whitespace collapse) over tag-augmented documents; pure Catalyst
+    regexp chain — see datapipe/text.py normalize_text_col."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(F.lit("<p> "), F.col("text"), F.lit(" </p>\t<br/>  x"))
+    norm = dtext.normalize_text_col(aug)
+    return docs.select(
+        "doc_id",
+        F.length(aug).cast("long").alias("len_before"),
+        F.length(norm).cast("long").alias("len_after"),
+        norm.alias("norm_text"),
+    ).orderBy("doc_id")
+
+
+_PII_AUG_SQL = (
+    "text || ' Contact user-' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    " || ' call +1 (415) 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
+@q(
+    "dp_pii_redact",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+             AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t,
+             '\\+[0-9][0-9 ()-]{{7,}}[0-9]')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+               '<IP>', 'g'),
+             '\\+[0-9][0-9 ()-]{{7,}}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM aug ORDER BY doc_id
+    """,
+)
+def dp_pii_redact(spark, sf_dir):
+    """PII scrubbing (email/IPv4/phone -> typed placeholders) with
+    per-type audit counts, over PII-augmented documents; patterns in
+    the Java-regex ∩ RE2 common subset — see datapipe/text.py
+    PII_PATTERNS."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user-"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+        F.lit(" call +1 (415) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    counts = dtext.pii_count_cols(aug)
+    return docs.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+        dtext.pii_redact_col(aug).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "dp_doc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             CASE WHEN n_tok <= 32 THEN 1
+                  ELSE CAST(ceil((n_tok - 32) / 24.0) AS INT) + 1 END
+               AS n_chunks
+      FROM d
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32))
+             AS BIGINT) AS chunk_tokens,
+           array_to_string(
+             list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')
+             AS chunk_text
+    FROM e ORDER BY doc_id, chunk_idx
+    """,
+)
+def dp_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (chunk=32, overlap=8, the LLM
+    training-prep stage); explode(sequence)+slice, all JVM, no shuffle
+    — see datapipe/text.py chunk_docs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.chunk_docs(docs, chunk_size=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (driver-cap mitigation, VERDICT r3 item 2).
 #
@@ -1957,7 +2096,12 @@ def a6_run_manifest(spark, sf_dir):
 #   dp_embedding_neardup  — labeled all-pairs baseline; the scale path
 #                           dp_embedding_neardup_lsh stays in-window
 # All tail entries keep their full value-hash oracles and remain
-# verified by scripts/verify_oracle.py (56/56) and pytest.
+# verified by scripts/verify_oracle.py and pytest.
+#
+# Round-4 additions (dp_text_normalize / dp_pii_redact / dp_doc_chunks)
+# register just above, i.e. at positions 49-51: dp_text_normalize sits
+# inside the 50-entry driver window; the other two are cleaning-family
+# siblings covered there and by verify_oracle/pytest.
 _REGISTRY_TAIL = [
     "a5_retention_age",
     "extra_anti_join",

@@ -685,3 +685,76 @@ def test_corpus_filter_reasons(spark, docs):
             want = None
         assert v.reject_reason == want, r_doc.doc_id
         assert v.keep == (want is None)
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning: normalization, PII redaction, chunking (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text(spark):
+    from sqlite_otel_spark.datapipe import text as dtx
+    df = spark.createDataFrame(
+        [(1, "<p>Hello   <b>world</b></p>\t\nbye\x01\x7fnow"),
+         (2, "   "),
+         (3, "plain")],
+        "id int, text string",
+    )
+    out = {r.id: r.norm for r in df.select(
+        "id", dtx.normalize_text_col(F.col("text")).alias("norm")
+    ).collect()}
+    assert out[1] == "Hello world bye now"
+    assert out[2] == ""
+    assert out[3] == "plain"
+
+
+def test_pii_redact_and_counts(spark):
+    from sqlite_otel_spark.datapipe import text as dtx
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org and 10.0.200.7 call +1 (415) 555-0100 ok"),
+         (2, "no pii here 12345"),
+         (3, "two mails x@y.io z@w.co")],
+        "id int, text string",
+    )
+    counts = dtx.pii_count_cols(F.col("text"))
+    rows = {r.id: r for r in df.select(
+        "id", dtx.pii_redact_col(F.col("text")).alias("red"),
+        *[c.alias(k) for k, c in counts.items()]
+    ).collect()}
+    assert rows[1].red == "mail <EMAIL> and <IP> call <PHONE> ok"
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (1, 1, 1)
+    assert rows[2].red == "no pii here 12345"  # bare digit runs are NOT PII
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 0)
+    assert rows[3].red == "two mails <EMAIL> <EMAIL>"
+    assert rows[3].n_email == 2
+
+
+def test_chunk_docs_boundaries(spark):
+    from sqlite_otel_spark.datapipe import text as dtx
+    words = " ".join(f"w{i:02d}" for i in range(40))  # 40 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three tokens"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = dtx.chunk_docs(df, chunk_size=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+    # doc 1: stride 12, n_chunks = ceil((40-16)/12)+1 = 3
+    c1 = by_doc[1]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    assert [r.chunk_tokens for r in c1] == [16, 16, 16]
+    assert c1[0].chunk_text.split()[0] == "w00"
+    assert c1[1].chunk_text.split()[0] == "w12"   # 0-based token 12
+    assert c1[2].chunk_text.split()[-1] == "w39"  # last token covered
+    # overlap: chunk 1 starts inside chunk 0's tail
+    assert c1[0].chunk_text.split()[-4:] == c1[1].chunk_text.split()[:4]
+    # doc 2: short doc -> one whole chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_tokens == 3
+    # doc 3: empty doc -> one EMPTY chunk (doc not dropped)
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_tokens == 0
+    assert by_doc[3][0].chunk_text == ""
+    with pytest.raises(ValueError):
+        dtx.chunk_docs(df, chunk_size=8, overlap=8)
