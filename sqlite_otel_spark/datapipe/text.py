@@ -343,3 +343,169 @@ def chunk_docs(docs, chunk_size: int = 32, overlap: int = 8,
         F.size(chunk_toks).cast("long").alias("chunk_tokens"),
         F.concat_ws(" ", chunk_toks).alias("chunk_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition signals + n-gram decontamination (round 4).
+# Gopher/C4-style quality heuristics: documents dominated by repeated
+# n-grams or repeated lines are low-quality (boilerplate, scraping
+# artifacts, degenerate generations) and get filtered before training.
+# Decontamination removes training documents that share long n-grams
+# with an evaluation set. All within-row expressions stay in one
+# codegen stage; the decontamination join broadcasts the (small) eval
+# gram set so the 100 TB train side never shuffles for the probe.
+# --------------------------------------------------------------------------
+
+
+def ngrams_col(tokens: Column, n: int) -> Column:
+    """Within-row token n-grams as space-joined strings; fewer than n
+    tokens yields an EMPTY array (guarded: Spark's sequence(1, k) with
+    k < 1 would count DOWN, unlike DuckDB's generate_series)."""
+    return F.when(F.size(tokens) < n, F.slice(tokens, 1, 0)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+
+
+def repetition_cols(tokens: Column) -> dict[str, Column]:
+    """Token-repetition quality signals over a shared token array:
+    duplicate-bigram fraction, top-bigram fraction (share of the single
+    most frequent bigram), duplicate-trigram fraction. O(g^2) nested
+    array filters per row — documents are bounded (the 10 MB cap
+    upstream), so this stays cheap and SHUFFLE-FREE at any corpus
+    size; repeated subtrees (the n-gram arrays) are shared by codegen
+    subexpression elimination, not recomputed per output column."""
+    out: dict[str, Column] = {}
+    for n, name in ((2, "bigram"), (3, "trigram")):
+        g = ngrams_col(tokens, n)
+        cnt = F.size(g)
+        dup = (cnt - F.size(F.array_distinct(g))) / cnt
+        out[f"dup_{name}_frac"] = (
+            F.when(cnt > 0, dup).otherwise(F.lit(0.0)).cast("double")
+        )
+        if n == 2:
+            out["n_bigrams"] = cnt.cast("long")
+            top = F.array_max(
+                F.transform(
+                    F.array_distinct(g),
+                    lambda u: F.size(F.filter(g, lambda x: x == u)),
+                )
+            )
+            out["top_bigram_frac"] = (
+                F.when(cnt > 0, top / cnt).otherwise(F.lit(0.0))
+                .cast("double")
+            )
+    return out
+
+
+def line_repetition_cols(text: Column) -> dict[str, Column]:
+    """Line-repetition signals (the C4 duplicate-line filters):
+    fraction of non-empty lines that are duplicates, and the fraction
+    of line CHARACTERS inside duplicated lines (char-weighted, the form
+    that catches a few huge repeated blocks). Within-row nested array
+    filters; no shuffle."""
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    dup_lines = F.filter(
+        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
+    )
+    tot_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    dup_chars = F.aggregate(
+        dup_lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    return {
+        "n_lines": n.cast("long"),
+        "dup_line_frac": (
+            F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n)
+            .otherwise(F.lit(0.0)).cast("double")
+        ),
+        "dup_line_char_frac": (
+            F.when(tot_chars > 0, dup_chars / tot_chars)
+            .otherwise(F.lit(0.0)).cast("double")
+        ),
+    }
+
+
+def contamination_flags(docs, n: int = 4, eval_mod: int = 7,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Train/eval n-gram decontamination: documents whose ``id % eval_mod
+    == 0`` form the eval set; every other (train) document is flagged if
+    it shares any token ``n``-gram with the eval set, with the count of
+    distinct shared grams as evidence.
+
+    Scale shape: the eval gram set is DISTINCT'd then **broadcast**
+    (eval suites are tiny next to a 100 TB corpus), so the train-side
+    probe is a map-side broadcast-hash semi join over a streaming
+    explode — no train-side shuffle for matching; the only shuffle is
+    the per-doc match count (partial-agg groupBy on doc_id). Returns
+    (doc_id, n_matched, contaminated) for every train document,
+    including clean ones (left join, zero-filled).
+    """
+    toks = tokens_col(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col), F.explode(ngrams_col(toks, n)).alias("gram")
+    )
+    is_eval = F.col(id_col) % eval_mod == 0
+    eval_grams = grams.where(is_eval).select("gram").distinct()
+    matched = (
+        grams.where(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_matched"))
+    )
+    return (
+        docs.where(~is_eval).select(id_col)
+        .join(matched, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(chunks, budget: int = 64, n_buckets: int = 8,
+                   id_col: str = "doc_id"):
+    """Pack chunk rows into fixed token-budget training sequences
+    (the sequence-packing stage between chunking and tokenized-batch
+    write-out). Deterministic contiguous packing: chunks are laid out
+    in (doc_id, chunk_idx) order and a new sequence starts whenever the
+    running token count crosses the budget — a chunk straddling the
+    boundary belongs to the sequence where it STARTS (sequences may
+    overflow by at most one chunk; exact first-fit packing is
+    inherently sequential and not worth a distributed engine's while).
+
+    Scale shape: a global ordering would serialize into one partition,
+    so packing is parallelized per bucket (``doc_id % n_buckets`` —
+    engine-portable, unlike hash()): the cumsum window partitions by
+    bucket, giving n_buckets-way parallelism and sequence ids that are
+    stable under any cluster size. At 100 TB raise n_buckets to O(10k);
+    packing quality is unaffected (each bucket packs densely).
+
+    Returns one row per sequence: seq_id, n_chunks, n_tokens,
+    n_docs (distinct source documents packed together).
+    """
+    from pyspark.sql import Window
+
+    bucket = (F.col(id_col) % n_buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = chunks.select(id_col, "chunk_idx", "chunk_tokens", bucket)
+    cum_before = F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")
+    seq_in_bucket = F.floor(cum_before / F.lit(budget))
+    c = c.withColumn(
+        "seq_id",
+        (F.col("bucket") * F.lit(1_000_000) + seq_in_bucket).cast("long"),
+    )
+    return c.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("n_tokens"),
+        F.count_distinct(id_col).cast("long").alias("n_docs"),
+    )

@@ -2076,6 +2076,137 @@ def dp_doc_chunks(spark, sf_dir):
         "doc_id", "chunk_idx")
 
 
+@q(
+    "dp_repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+               i -> array_to_string(list_slice(toks, i, i+1), ' ')) AS big,
+             list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+               i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS tri
+      FROM t
+    )
+    SELECT doc_id,
+      CAST(len(big) AS BIGINT) AS n_bigrams,
+      CASE WHEN len(big) > 0
+           THEN (len(big) - len(list_distinct(big))) / CAST(len(big) AS DOUBLE)
+           ELSE 0.0 END AS dup_bigram_frac,
+      CASE WHEN len(big) > 0
+           THEN list_max(list_transform(list_distinct(big),
+                  u -> len(list_filter(big, x -> x = u))))
+                / CAST(len(big) AS DOUBLE)
+           ELSE 0.0 END AS top_bigram_frac,
+      CASE WHEN len(tri) > 0
+           THEN (len(tri) - len(list_distinct(tri))) / CAST(len(tri) AS DOUBLE)
+           ELSE 0.0 END AS dup_trigram_frac
+    FROM g ORDER BY doc_id
+    """,
+)
+def dp_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-bigram,
+    top-bigram, duplicate-trigram fractions) per document; within-row
+    array expressions, shuffle-free — see datapipe/text.py
+    repetition_cols."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("__toks", dtext.tokens_col(F.col("text")))
+    rep = dtext.repetition_cols(F.col("__toks"))
+    return d.select(
+        "doc_id",
+        rep["n_bigrams"].alias("n_bigrams"),
+        rep["dup_bigram_frac"].alias("dup_bigram_frac"),
+        rep["top_bigram_frac"].alias("top_bigram_frac"),
+        rep["dup_trigram_frac"].alias("dup_trigram_frac"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "dp_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks)-3, 0)),
+               i -> array_to_string(list_slice(toks, i, i+3), ' '))) AS gram
+      FROM t
+    ), ev AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0
+    ), m AS (
+      SELECT doc_id, count(DISTINCT gram) AS n_matched
+      FROM g
+      WHERE doc_id % 7 != 0 AND gram IN (SELECT gram FROM ev)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+           coalesce(m.n_matched, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    WHERE d.doc_id % 7 != 0 ORDER BY d.doc_id
+    """,
+)
+def dp_decontaminate(spark, sf_dir):
+    """Eval-set n-gram decontamination: flag train documents (doc_id %
+    7 != 0) sharing any token 4-gram with the eval slice (doc_id % 7 ==
+    0); broadcast eval-gram semi-join, no train-side shuffle for the
+    probe — see datapipe/text.py contamination_flags."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.contamination_flags(docs, n=4, eval_mod=7).orderBy("doc_id")
+
+
+@q(
+    "dp_sequence_pack",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             CASE WHEN n_tok <= 32 THEN 1
+                  ELSE CAST(ceil((n_tok - 32) / 24.0) AS INT) + 1 END
+               AS n_chunks
+      FROM d
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM c
+    ), chunks AS (
+      SELECT doc_id, chunk_idx,
+             len(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32))
+               AS chunk_tokens
+      FROM e
+    ), p AS (
+      SELECT doc_id % 8 AS bucket, doc_id, chunk_tokens,
+             sum(chunk_tokens) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - chunk_tokens AS cum_before
+      FROM chunks
+    )
+    SELECT CAST(bucket * 1000000 + floor(cum_before / 64) AS BIGINT)
+             AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)
+def dp_sequence_pack(spark, sf_dir):
+    """Sequence packing: lay the dp_doc_chunks output into 64-token
+    training sequences, 8-way bucket-parallel cumsum window (a global
+    order would serialize) — see datapipe/text.py pack_sequences."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = dtext.chunk_docs(docs, chunk_size=32, overlap=8)
+    return dtext.pack_sequences(chunks, budget=64, n_buckets=8).orderBy(
+        "seq_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (driver-cap mitigation, VERDICT r3 item 2).
 #
@@ -2098,10 +2229,19 @@ def dp_doc_chunks(spark, sf_dir):
 # All tail entries keep their full value-hash oracles and remain
 # verified by scripts/verify_oracle.py and pytest.
 #
-# Round-4 additions (dp_text_normalize / dp_pii_redact / dp_doc_chunks)
-# register just above, i.e. at positions 49-51: dp_text_normalize sits
-# inside the 50-entry driver window; the other two are cleaning-family
-# siblings covered there and by verify_oracle/pytest.
+# Round-4: five new ops (dp_text_normalize / dp_pii_redact /
+# dp_doc_chunks / dp_repetition_signals / dp_decontaminate) are each a
+# NEW family representative, so four more same-family second forms move
+# to the tail to keep every family's representative inside the window:
+#   a3_session_window_counts — A3 keeps a3_time_bucket_counts (session
+#                              form stays pytest + verify_oracle green)
+#   q5_region_nation_rollup  — TPC-H demo; q1/q3 stay as the family
+#   dp_ann_lsh_topk          — ANN keeps brute baseline + IVF scale path
+#                              (LSH machinery also in-window via
+#                              dp_minhash_lsh / dp_embedding_neardup_lsh)
+#   dp_multimodal_resize     — multimodal keeps features + frame_sample
+#                              (same mapInPandas plumbing family)
+#   dp_tfidf_top_terms       — term-stats family keeps dp_term_stats
 _REGISTRY_TAIL = [
     "a5_retention_age",
     "extra_anti_join",
@@ -2110,6 +2250,11 @@ _REGISTRY_TAIL = [
     "dp_fingerprint_rolling",
     "dp_token_count_ws",
     "dp_embedding_neardup",
+    "a3_session_window_counts",
+    "q5_region_nation_rollup",
+    "dp_ann_lsh_topk",
+    "dp_multimodal_resize",
+    "dp_tfidf_top_terms",
 ]
 for _k in _REGISTRY_TAIL:
     if _k in QUERIES:

@@ -758,3 +758,92 @@ def test_chunk_docs_boundaries(spark):
     assert by_doc[3][0].chunk_text == ""
     with pytest.raises(ValueError):
         dtx.chunk_docs(df, chunk_size=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals + decontamination (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_ngrams_and_repetition(spark):
+    from sqlite_otel_spark.datapipe import text as dtx
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),   # bigrams a b/b a/a b/b a; trigrams x3 (1 dup)
+         (2, "x"),           # too short for any bigram
+         (3, "c c c c")],    # bigrams c c x3; trigrams c c c x2
+        "doc_id int, text string",
+    )
+    d = df.withColumn("t", dtx.tokens_col(F.col("text")))
+    rep = dtx.repetition_cols(F.col("t"))
+    rows = {r.doc_id: r for r in d.select(
+        "doc_id", *[c.alias(k) for k, c in rep.items()]).collect()}
+    assert rows[1].n_bigrams == 4
+    assert rows[1].dup_bigram_frac == 0.5
+    assert rows[1].top_bigram_frac == 0.5
+    assert abs(rows[1].dup_trigram_frac - 1 / 3) < 1e-12
+    assert rows[2].n_bigrams == 0
+    assert rows[2].dup_bigram_frac == 0.0
+    assert rows[2].top_bigram_frac == 0.0
+    assert rows[2].dup_trigram_frac == 0.0
+    assert abs(rows[3].dup_bigram_frac - 2 / 3) < 1e-12
+    assert rows[3].top_bigram_frac == 1.0
+    assert rows[3].dup_trigram_frac == 0.5
+
+
+def test_line_repetition(spark):
+    from sqlite_otel_spark.datapipe import text as dtx
+    df = spark.createDataFrame(
+        [(1, "aaaa\nbb\naaaa\n\ncc"),  # dup 'aaaa' x2; empty line dropped
+         (2, "solo line"),
+         (3, "")],
+        "doc_id int, text string",
+    )
+    cols = dtx.line_repetition_cols(F.col("text"))
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", *[c.alias(k) for k, c in cols.items()]).collect()}
+    assert rows[1].n_lines == 4
+    assert rows[1].dup_line_frac == 0.25          # 4 lines, 3 distinct
+    assert abs(rows[1].dup_line_char_frac - 8 / 12) < 1e-12
+    assert rows[2].n_lines == 1
+    assert rows[2].dup_line_frac == 0.0
+    assert rows[2].dup_line_char_frac == 0.0
+    assert rows[3].n_lines == 0
+    assert rows[3].dup_line_frac == 0.0
+
+
+def test_contamination_flags(spark):
+    from sqlite_otel_spark.datapipe import text as dtx
+    docs = spark.createDataFrame(
+        [(0, "one two three four five"),       # eval (id % 2 == 0)
+         (1, "zz one two three four yy"),      # train: one shared 4-gram
+         (3, "totally different words here"),  # train: clean
+         (5, "one two three four five tail")],  # train: two shared 4-grams
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           dtx.contamination_flags(docs, n=4, eval_mod=2).collect()}
+    assert set(out) == {1, 3, 5}  # eval docs excluded from output
+    assert out[1].contaminated and out[1].n_matched == 1
+    assert not out[3].contaminated and out[3].n_matched == 0
+    assert out[5].contaminated and out[5].n_matched == 2
+
+
+def test_pack_sequences(spark):
+    from sqlite_otel_spark.datapipe import text as dtx
+    # synthetic chunk rows: (doc_id, chunk_idx, chunk_tokens)
+    chunks = spark.createDataFrame(
+        [(0, 0, 30), (0, 1, 30), (0, 2, 30),   # bucket 0: cum 0/30/60
+         (2, 0, 50),                            # bucket 0: cum 90
+         (1, 0, 64), (1, 1, 10)],               # bucket 1: cum 0/64
+        "doc_id long, chunk_idx int, chunk_tokens long",
+    )
+    out = {r.seq_id: r for r in
+           dtx.pack_sequences(chunks, budget=64, n_buckets=2).collect()}
+    # bucket 0: chunks starting at cum 0,30,60 -> seq 0 (overflow by the
+    # straddling third chunk); chunk starting at 90 -> seq 1
+    assert out[0].n_chunks == 3 and out[0].n_tokens == 90
+    assert out[0].n_docs == 1
+    assert out[1].n_chunks == 1 and out[1].n_tokens == 50
+    # bucket 1: starts at 0 and 64 -> two sequences, ids offset 1e6
+    assert out[1_000_000].n_chunks == 1 and out[1_000_000].n_tokens == 64
+    assert out[1_000_001].n_chunks == 1 and out[1_000_001].n_tokens == 10
