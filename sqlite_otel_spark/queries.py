@@ -2207,6 +2207,65 @@ def dp_sequence_pack(spark, sf_dir):
         "seq_id")
 
 
+@q(
+    "extra_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'
+    ), u AS (
+      SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie,
+             event_id, value,
+             NULL::BIGINT AS r_event_id, NULL::DOUBLE AS r_value,
+             NULL::TIMESTAMP AS r_ts
+      FROM l
+      UNION ALL
+      SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, value, ts
+      FROM r
+    ), c AS (
+      SELECT user_id, ts, side, event_id, value,
+             last_value(r_event_id IGNORE NULLS) OVER w AS click_event_id,
+             last_value(r_value IGNORE NULLS) OVER w AS click_value,
+             last_value(r_ts IGNORE NULLS) OVER w AS click_ts
+      FROM u
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts ASC, side ASC, tie ASC NULLS LAST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value,
+           click_event_id, click_value, click_ts
+    FROM c WHERE side = 1 ORDER BY event_id
+    """,
+)
+def extra_asof_join(spark, sf_dir):
+    """As-of attribution: each purchase event joined to the most recent
+    prior-or-simultaneous click by the same user — union + carry-forward
+    window, ONE shuffle on user_id, no range-join blowup — see
+    operators/asof.py."""
+    from sqlite_otel_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    r = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    res = asof_join(l, r, key="user_id", ts="ts",
+                    right_cols=["event_id", "value", "ts"],
+                    right_order="event_id")
+    return res.select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("value"),
+        F.col("r_event_id").alias("click_event_id"),
+        F.col("r_value").alias("click_value"),
+        F.col("r_ts").alias("click_ts"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (driver-cap mitigation, VERDICT r3 item 2).
 #

@@ -847,3 +847,33 @@ def test_pack_sequences(spark):
     # bucket 1: starts at 0 and 64 -> two sequences, ids offset 1e6
     assert out[1_000_000].n_chunks == 1 and out[1_000_000].n_tokens == 64
     assert out[1_000_001].n_chunks == 1 and out[1_000_001].n_tokens == 10
+
+
+def test_asof_join(spark):
+    import datetime as dt
+
+    from sqlite_otel_spark.operators.asof import asof_join
+
+    def T(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(100, 1, T(10), 5.0),   # clicks at :05 and :10 — inclusive tie
+         (101, 1, T(4), 6.0),    # before any click -> NULLs
+         (102, 2, T(30), 7.0)],  # two clicks at the same ts -> max id
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, T(5), 0.5), (2, 1, T(10), 0.7),
+         (3, 2, T(20), 0.1), (4, 2, T(20), 0.2)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {r.event_id: r for r in asof_join(
+        left, right, key="user_id", ts="ts",
+        right_cols=["event_id", "value"], right_order="event_id",
+    ).collect()}
+    assert out[100].r_event_id == 2 and out[100].r_value == 0.7
+    assert out[101].r_event_id is None and out[101].r_value is None
+    assert out[102].r_event_id == 4 and out[102].r_value == 0.2
+    # left columns pass through untouched
+    assert out[100].value == 5.0 and out[100].ts == T(10)
