@@ -148,14 +148,25 @@ def main() -> None:
     # -- datapipe: LSH self-join shape -------------------------------------
     mh = QUERIES["dp_minhash_lsh"](spark, SF)
     audit("dp_minhash_lsh", mh, want=["HashAggregate"],
-          note="signatures = one groupBy with P min-agg columns; band join "
-               "shuffles on (band, bh) — the candidate-pair key")
+          note="per-doc shingle dedup is within-row since r4 (no "
+               "dropDuplicates shuffle of the shingle stream); signatures "
+               "= one groupBy with P map-side-combined min-agg columns; "
+               "band join shuffles on (band, bh) — the candidate-pair key")
 
     sw = QUERIES["a3_session_window_counts"](spark, SF)
     audit("a3_session_window_counts", sw,
           want=["session_window", "HashAggregate"],
           note="native session_window (streaming-capable stateful window), "
                "not a window-function islands emulation")
+
+    sh2 = QUERIES["dp_simhash_neardup"](spark, SF)
+    audit(
+        "dp_simhash_neardup", sh2,
+        forbid=["CartesianProduct", "BatchEvalPython"],
+        note="fingerprints = explode + map-side partial bit-sums (the "
+             "shuffle carries only combined per-bit sums); banding + "
+             "Hamming verify are equi-join + bit_count(xor)",
+    )
 
     ivf = QUERIES["dp_ann_ivf_topk"](spark, SF)
     audit("dp_ann_ivf_topk", ivf, forbid=["CartesianProduct"],
@@ -223,6 +234,87 @@ def main() -> None:
         "all 9 marker counts filter one shared materialized token array "
         "(one-pass text kernel, round 3)",
     ))
+
+    # -- round-4 corpus-prep ops: cleaning must stay pure-JVM ---------------
+    norm = QUERIES["dp_text_normalize"](spark, SF)
+    audit(
+        "dp_text_normalize", norm,
+        want=["codegen id"],
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        max_exchanges=1,
+        note="normalizer is a regexp_replace chain inside whole-stage "
+             "codegen — NO Python anywhere; the only exchange is the "
+             "presentation orderBy",
+    )
+
+    pii = QUERIES["dp_pii_redact"](spark, SF)
+    audit(
+        "dp_pii_redact", pii,
+        want=["codegen id"],
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        max_exchanges=1,
+        note="PII redaction + audit counts are JVM regexp expressions; "
+             "only the presentation orderBy shuffles",
+    )
+
+    chunks = QUERIES["dp_doc_chunks"](spark, SF)
+    audit(
+        "dp_doc_chunks", chunks,
+        want=["Generate"],
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        max_exchanges=1,
+        note="chunking = explode(sequence)+slice (Generate node), "
+             "partition-preserving — no shuffle except the presentation "
+             "orderBy",
+    )
+
+    rep = QUERIES["dp_repetition_signals"](spark, SF)
+    audit(
+        "dp_repetition_signals", rep,
+        want=["codegen id"],
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        max_exchanges=1,
+        note="repetition signals are within-row array expressions — "
+             "shuffle-free per-doc quality stats",
+    )
+
+    dec = QUERIES["dp_decontaminate"](spark, SF)
+    audit(
+        "dp_decontaminate", dec,
+        want=["BroadcastHashJoin"],
+        forbid=["CartesianProduct"],
+        note="eval-gram probe is an explicit broadcast join — the train "
+             "side streams through it without shuffling",
+    )
+
+    pack = QUERIES["dp_sequence_pack"](spark, SF)
+    audit(
+        "dp_sequence_pack", pack,
+        want=["Window", "HashAggregate"],
+        max_exchanges=3,
+        note="bucket-parallel packing: one exchange for the cumsum "
+             "window, one for the seq groupBy, one presentation orderBy "
+             "— a global-sort formulation would serialize instead",
+    )
+
+    asof = QUERIES["extra_asof_join"](spark, SF)
+    asof.collect()
+    asof_plan = formatted_plan(asof)
+    n_windows = len(re.findall(r"\(\d+\) Window\b", asof_plan))
+    checks.append((
+        f"extra_asof_join: exactly ONE Window node (got {n_windows})",
+        n_windows == 1,
+        "all carried right columns collapse into a single Window "
+        "(one exchange + one sort — the merge-scan as-of plan)",
+    ))
+    audit(
+        "extra_asof_join", asof,
+        want=["Window"],
+        forbid=["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+        max_exchanges=2,
+        note="as-of = union + carry-forward window: one shuffle on the "
+             "key + the presentation orderBy; never a range-join blowup",
+    )
 
     ok = sum(1 for _, passed, _ in checks if passed)
     lines = [

@@ -877,3 +877,28 @@ def test_asof_join(spark):
     assert out[102].r_event_id == 4 and out[102].r_value == 0.2
     # left columns pass through untouched
     assert out[100].value == 5.0 and out[100].ts == T(10)
+
+
+def test_minhash_inline_matches_grouped(spark, docs):
+    """The shuffle-free within-row signature form must be value-identical
+    to the explode+groupBy form, in BOTH hash families."""
+    from sqlite_otel_spark.datapipe import dedup as dd
+    sh = dd.shingles(docs, n=3)
+    for hf in ("md5", "xxhash64"):
+        a = dd.minhash_signatures(sh, 16, hash_fn=hf).orderBy(
+            "doc_id").collect()
+        b = dd.minhash_signatures_inline(docs, 16, n=3, hash_fn=hf).orderBy(
+            "doc_id").collect()
+        assert a == b, hf
+
+
+def test_simhash_inline_matches_grouped(spark, docs):
+    """The shuffle-free within-row SimHash must be value-identical to
+    the explode+groupBy bit-sum form, in BOTH hash families."""
+    from sqlite_otel_spark.datapipe import dedup as dd
+    for hf, bits in (("md5", 60), ("xxhash64", 64)):
+        a = dd.simhash(docs, n_bits=bits, hash_fn=hf).orderBy(
+            "doc_id").collect()
+        b = dd.simhash_inline(docs, n_bits=bits, hash_fn=hf).orderBy(
+            "doc_id").collect()
+        assert a == b, hf
