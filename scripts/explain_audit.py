@@ -291,16 +291,20 @@ def main() -> None:
     audit(
         "dp_sequence_pack", pack,
         want=["Window", "HashAggregate"],
-        max_exchanges=3,
+        max_exchanges=4,
         note="bucket-parallel packing: one exchange for the cumsum "
-             "window, one for the seq groupBy, one presentation orderBy "
-             "— a global-sort formulation would serialize instead",
+             "window, TWO for the seq agg (count_distinct docs runs as "
+             "a two-phase expand aggregate), one presentation orderBy — "
+             "a global-sort formulation would serialize instead",
     )
 
     asof = QUERIES["extra_asof_join"](spark, SF)
     asof.collect()
-    asof_plan = formatted_plan(asof)
-    n_windows = len(re.findall(r"\(\d+\) Window\b", asof_plan))
+    # count only the FINAL plan section — AQE's formatted output echoes
+    # the pre-adaptive plan under '== Initial Plan ==' (same reason
+    # count_exchanges uses ShuffleQueryStage ids)
+    asof_plan = formatted_plan(asof).split("Initial Plan")[0]
+    n_windows = len(re.findall(r"\bWindow \(\d+\)", asof_plan))
     checks.append((
         f"extra_asof_join: exactly ONE Window node (got {n_windows})",
         n_windows == 1,
