@@ -328,6 +328,10 @@ def time_queries(spark) -> dict[str, float]:
         "w1_window_rank_orders", "dp_ngram_jaccard", "dp_minhash_lsh",
         "dp_simhash_neardup", "dp_ann_brute_topk", "dp_ann_lsh_topk", "dp_ann_ivf_topk",
         "dp_fingerprint", "dp_token_count", "dp_multimodal_features",
+        # round-4 corpus-prep ops (all cheap; ~10 s added per headline run)
+        "dp_text_normalize", "dp_pii_redact", "dp_doc_chunks",
+        "dp_repetition_signals", "dp_decontaminate", "dp_sequence_pack",
+        "extra_asof_join",
     ]
     out = {}
     for name in names:

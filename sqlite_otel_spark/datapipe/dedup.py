@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sqlite_otel_spark.datapipe.text import tokens_col
+from sqlite_otel_spark.datapipe.text import (
+    ensure_parallelism as _ensure_parallelism,
+    tokens_col,
+)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -182,16 +185,6 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 64,
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Spread narrow inputs across the cluster before a compute-heavy
-    within-row projection (inline MinHash/SimHash): a scan with fewer
-    partitions than cores would serialize it. No-op whenever the scan
-    already parallelizes (every real at-scale table); otherwise one
-    round-robin repartition of the raw rows."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def minhash_signatures_inline(docs: DataFrame, num_perm: int = 64,

@@ -16,6 +16,18 @@ from pyspark.sql import functions as F
 TOKEN_PATTERN = "[a-z0-9]+"  # BPE-ish: lowercase alnum runs
 
 
+def ensure_parallelism(df):
+    """Spread narrow inputs across the cluster before a compute-heavy
+    projection or explode: a scan with fewer partitions than cores
+    would serialize it. No-op whenever the scan already parallelizes
+    (every real at-scale table); otherwise one round-robin repartition
+    of the raw rows."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_col(text: Column) -> Column:
     """Token array (whitespace/punct-insensitive). idx=0 = whole match
     (Spark defaults to capture group 1, unlike DuckDB)."""
@@ -327,6 +339,7 @@ def chunk_docs(docs, chunk_size: int = 32, overlap: int = 8,
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     stride = chunk_size - overlap
+    docs = ensure_parallelism(docs)
     toks = tokens_col(F.col(text_col))
     d = docs.select(id_col, toks.alias("toks"), F.size(toks).alias("n_tok"))
     n_chunks = F.when(F.col("n_tok") <= chunk_size, F.lit(1)).otherwise(
