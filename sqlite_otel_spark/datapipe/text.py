@@ -522,3 +522,36 @@ def pack_sequences(chunks, budget: int = 64, n_buckets: int = 8,
         F.sum("chunk_tokens").cast("long").alias("n_tokens"),
         F.count_distinct(id_col).cast("long").alias("n_docs"),
     )
+
+
+# URL pattern in the Java-regex ∩ RE2 common subset (no quotes or
+# apostrophes in the class so the DuckDB twin embeds cleanly in SQL).
+URL_PATTERN = "https?://[A-Za-z0-9._/:?=&%#-]+"
+DOMAIN_PATTERN = "^https?://([^/]+)"
+
+
+def extract_url_domains(docs, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Per-domain URL statistics (crawl-curation view): extract every
+    URL, take its host, roll up to (domain, n_urls, n_docs). The
+    extraction is a JVM regexp over the scan projection; the only
+    shuffle is the final partial-agg groupBy on domain (count_distinct
+    docs adds its expand phase). Host-level stats like these drive
+    per-domain quality weights and blocklists at corpus scale."""
+    urls = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN),
+                                 F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.withColumn(
+            "domain", F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1)
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )

@@ -902,3 +902,17 @@ def test_simhash_inline_matches_grouped(spark, docs):
         b = dd.simhash_inline(docs, n_bits=bits, hash_fn=hf).orderBy(
             "doc_id").collect()
         assert a == b, hf
+
+
+def test_extract_url_domains(spark):
+    from sqlite_otel_spark.datapipe import text as dtx
+    df = spark.createDataFrame(
+        [(1, "x https://a.com/p?q=1 y http://a.com/z w https://b.org/"),
+         (2, "see https://a.com/other and nothing else"),
+         (3, "no urls at all")],
+        "doc_id long, text string",
+    )
+    out = {r.domain: r for r in dtx.extract_url_domains(df).collect()}
+    assert set(out) == {"a.com", "b.org"}
+    assert out["a.com"].n_urls == 3 and out["a.com"].n_docs == 2
+    assert out["b.org"].n_urls == 1 and out["b.org"].n_docs == 1
