@@ -262,10 +262,13 @@ def main() -> None:
         "dp_doc_chunks", chunks,
         want=["Generate"],
         forbid=["BatchEvalPython", "ArrowEvalPython"],
-        max_exchanges=1,
+        max_exchanges=2,
         note="chunking = explode(sequence)+slice (Generate node), "
              "partition-preserving — no shuffle except the presentation "
-             "orderBy",
+             "orderBy plus the small-input spreader repartition "
+             "(ensure_parallelism: conditional, vanishes whenever the "
+             "scan already has >= defaultParallelism partitions, i.e. "
+             "every at-scale table)",
     )
 
     rep = QUERIES["dp_repetition_signals"](spark, SF)
@@ -291,11 +294,13 @@ def main() -> None:
     audit(
         "dp_sequence_pack", pack,
         want=["Window", "HashAggregate"],
-        max_exchanges=4,
+        max_exchanges=5,
         note="bucket-parallel packing: one exchange for the cumsum "
              "window, TWO for the seq agg (count_distinct docs runs as "
-             "a two-phase expand aggregate), one presentation orderBy — "
-             "a global-sort formulation would serialize instead",
+             "a two-phase expand aggregate), one presentation orderBy, "
+             "plus the conditional small-input spreader (no-op at "
+             "scale) — a global-sort formulation would serialize "
+             "instead",
     )
 
     asof = QUERIES["extra_asof_join"](spark, SF)
@@ -318,6 +323,24 @@ def main() -> None:
         max_exchanges=2,
         note="as-of = union + carry-forward window: one shuffle on the "
              "key + the presentation orderBy; never a range-join blowup",
+    )
+
+    urls = QUERIES["dp_url_extract"](spark, SF)
+    audit(
+        "dp_url_extract", urls,
+        want=["HashAggregate"],
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        note="URL extraction is JVM regexp in the scan projection; the "
+             "domain rollup is one partial-agg groupBy",
+    )
+
+    pct = QUERIES["dp_length_percentiles"](spark, SF)
+    audit(
+        "dp_length_percentiles", pct,
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        max_exchanges=2,
+        note="exact percentile profile: one agg exchange + presentation "
+             "orderBy; token counts never leave the scan projection",
     )
 
     ok = sum(1 for _, passed, _ in checks if passed)
