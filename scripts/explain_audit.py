@@ -343,6 +343,39 @@ def main() -> None:
              "orderBy; token counts never leave the scan projection",
     )
 
+    split = QUERIES["dp_train_split"](spark, SF)
+    audit(
+        "dp_train_split", split,
+        want=["HashAggregate"],
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        max_exchanges=2,
+        note="deterministic split assignment is a codegen'd CASE over "
+             "the id hash in the scan projection (no shuffle); the two "
+             "exchanges are the count groupBy + presentation orderBy",
+    )
+
+    mix = QUERIES["dp_mixture_weights"](spark, SF)
+    audit(
+        "dp_mixture_weights", mix,
+        want=["HashAggregate", "Window"],
+        forbid=["BatchEvalPython", "ArrowEvalPython"],
+        max_exchanges=3,
+        note="one partial-agg groupBy over the corpus; the global-total "
+             "window and orderBy run on the broadcast-size per-stratum "
+             "result (rows = #strata), so their single-partition "
+             "exchanges are O(strata), not O(corpus)",
+    )
+
+    quant = QUERIES["dp_embedding_quantize"](spark, SF)
+    audit(
+        "dp_embedding_quantize", quant,
+        forbid=["BatchEvalPython", "ArrowEvalPython", "Exchange hashpartitioning"],
+        max_exchanges=1,
+        note="int8 quantization is within-row HOFs only — zero shuffle; "
+             "the lone exchange is the presentation orderBy (range "
+             "partitioning)",
+    )
+
     ok = sum(1 for _, passed, _ in checks if passed)
     lines = [
         "# PLANS — physical-plan audit (`.explain(\"formatted\")`)",

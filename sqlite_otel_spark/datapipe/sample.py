@@ -13,7 +13,7 @@ deterministic-sampling construction for web-scale corpus work.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sqlite_otel_spark.datapipe.dedup import md5hash60
@@ -58,4 +58,88 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     # integer (e.g. 0.29*10^6 = 289999.99...) would shift the gate
     return df.filter(
         F.pmod(h, F.lit(SCALE)) < F.round(frac * SCALE).cast("long")
+    )
+
+
+def split_assign(df: DataFrame, splits: dict[str, float],
+                 id_col: str = "doc_id", salt: str = "",
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split assignment (reproducible
+    corpus freezing): every row gets exactly one split label, decided
+    by where ``md5hash60(salt || id) mod SCALE`` falls among the
+    cumulative split thresholds. Pure function of (id, salt, splits):
+    identical on any cluster size / engine (the DuckDB oracle uses the
+    same md5 arithmetic), stable under resume, and CONSISTENT with
+    ``deterministic_sample`` — the train split at fraction f is exactly
+    the f-sample's kept set, and growing a split only reassigns rows
+    from its right-hand neighbour (no churn inside the kept range).
+
+    ``splits`` is an ordered name -> fraction map; fractions must sum
+    to 1 (within rounding); the LAST split absorbs the sub-1e-6
+    rounding remainder. Narrow: one codegen'd CASE over the hash, no
+    shuffle, no RNG — at 100 TB this is a free projection on the scan.
+    """
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = F.pmod(
+        md5hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(SCALE),
+    )
+    names = list(splits)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    thresholds = []
+    for name, frac in list(splits.items())[:-1]:
+        cum += frac
+        thresholds.append((name, int(round(cum * SCALE))))
+    for name, cut in reversed(thresholds):
+        expr = F.when(h < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def mixture_weights(df: DataFrame, targets: dict[str, float],
+                    strata_col: str = "lang",
+                    token_count: Column | None = None,
+                    weight_cap: float = 1.0) -> DataFrame:
+    """Corpus mixture planning: given target token shares per stratum
+    (domain/language), compute each stratum's current token share and
+    the DOWNSAMPLING weight that moves the mixture toward the target —
+    ``weight = min(cap, target_share / current_share)``, i.e. the
+    per-stratum keep fraction to feed ``stratified_sample``. Strata
+    absent from ``targets`` get target share 0 (dropped). This is the
+    static-reweighting step every web-scale corpus recipe runs before
+    training (aggregate statistics only — one partial-agg groupBy over
+    the corpus, a scalar total, and a broadcast-size result; nothing
+    here grows with corpus size except the single agg pass).
+
+    Output: one row per stratum with n_docs, n_tokens, token_share,
+    target_share, weight (all shares/weights rounded to 6 so the
+    cross-engine hash is stable).
+    """
+    if token_count is None:
+        from sqlite_otel_spark.datapipe.text import token_count_col
+
+        token_count = token_count_col(F.col("text"))
+    per = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(token_count).cast("long").alias("n_tokens"))
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.col("n_tokens") / total
+    target = F.lit(0.0)
+    for value, t_share in sorted(targets.items()):
+        target = F.when(F.col(strata_col) == value,
+                        F.lit(t_share)).otherwise(target)
+    weight = F.least(F.lit(weight_cap), target / share)
+    return per.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(weight, 6).alias("weight"),
     )

@@ -409,3 +409,51 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(vectors: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage
+    /bandwidth step before shipping vectors to an ANN index (4x smaller
+    than float32, 8x than float64). Per vector: ``scale = max|v| / 127``
+    and ``q_i = floor(v_i / scale + 0.5)`` (explicit half-up rounding so
+    Spark and the DuckDB oracle make bit-identical decisions — both
+    evaluate the same IEEE-double expression element-by-element; no
+    engine-specific round() tie rules in the hot path). The all-zero
+    vector keeps scale 0 and an all-zero code.
+
+    Output per vector: the int8 code array plus audit scalars — scale,
+    q_min/q_max (range check: must stay in [-127, 127]), q_sum (code
+    checksum) and max_abs_err (reconstruction bound: <= scale/2 + eps).
+    All within-row higher-order functions: narrow, zero shuffle, and at
+    100 TB the quantization is a free map over the scan; the audit
+    scalars make the lossy step verifiable instead of trusted.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = amax / F.lit(127.0)
+    qexpr = F.transform(
+        v,
+        lambda x: F.when(F.col("__scale") == 0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / F.col("__scale") + F.lit(0.5))
+                   .cast("int")),
+    )
+    d = vectors.select(
+        F.col(id_col), v.alias(vec_col), scale.alias("__scale")
+    ).withColumn("qvec", qexpr)
+    err = F.array_max(
+        F.zip_with(
+            v, F.col("qvec"),
+            lambda x, q: F.abs(x.cast("double") - q * F.col("__scale")),
+        )
+    )
+    return d.select(
+        id_col,
+        F.col("qvec").cast("array<tinyint>").alias("qvec"),
+        F.round(F.col("__scale"), 6).alias("scale"),
+        F.array_min("qvec").cast("int").alias("q_min"),
+        F.array_max("qvec").cast("int").alias("q_max"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda acc, q: acc + q).alias("q_sum"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

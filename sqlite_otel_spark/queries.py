@@ -2341,6 +2341,112 @@ def dp_length_percentiles(spark, sf_dir):
     ).orderBy("lang")
 
 
+@q(
+    "dp_train_split",
+    f"""
+    SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM (
+      SELECT doc_id,
+             CASE WHEN {_SAMPLE_GATE} < 800000 THEN 'train'
+                  WHEN {_SAMPLE_GATE} < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split ORDER BY split
+    """,
+)
+def dp_train_split(spark, sf_dir):
+    """Deterministic train/val/test split (datapipe/sample.py
+    split_assign): corpus freezing by id-hash thresholds — the same
+    md5 gate as deterministic_sample, so splits are reproducible on
+    any cluster size, engine-verifiable (the oracle repeats the CASE
+    arithmetic), and nested (growing train only drains val's left
+    edge). The narrow CASE projection costs nothing at 100 TB."""
+    from sqlite_otel_spark.datapipe.sample import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("doc_id").cast("long").alias("sum_ids"))
+        .orderBy("split")
+    )
+
+
+_MIX_TARGET_SQL = ("CAST(CASE lang WHEN 'en' THEN 0.2 WHEN 'es' THEN 0.1 "
+                   "ELSE 0.0 END AS DOUBLE)")
+
+
+@q(
+    "dp_mixture_weights",
+    f"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+             AS token_share,
+           round({_MIX_TARGET_SQL}, 6) AS target_share,
+           round(least(1.0, ({_MIX_TARGET_SQL})
+                 / (n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE))), 6)
+             AS weight
+    FROM per ORDER BY lang
+    """,
+)
+def dp_mixture_weights(spark, sf_dir):
+    """Corpus mixture planning (datapipe/sample.py mixture_weights):
+    per-language token shares vs a target mixture and the downsampling
+    weight (keep fraction) that achieves it — the static-reweighting
+    pass a web-scale corpus runs before stratified_sample. One
+    partial-agg groupBy over the corpus; the share/weight math runs on
+    the broadcast-size per-stratum result."""
+    from sqlite_otel_spark.datapipe.sample import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_weights(docs, {"en": 0.2, "es": 0.1}).orderBy("lang")
+
+
+@q(
+    "dp_embedding_quantize",
+    """
+    SELECT vec_id, round(scale, 6) AS scale,
+           list_min(qvec) AS q_min, list_max(qvec) AS q_max,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           round(CASE WHEN scale = 0
+                      THEN list_max(list_transform(v, x -> abs(x)))
+                      ELSE list_max(list_transform(v,
+                             x -> abs(x - scale * floor(x / scale + 0.5))))
+                 END, 6) AS max_abs_err
+    FROM (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                         ELSE CAST(floor(x / scale + 0.5) AS INT)
+                                    END) AS qvec
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                     / 127.0 AS scale
+            FROM embeddings)
+    ) ORDER BY vec_id
+    """,
+)
+def dp_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (datapipe/similarity.py quantize_int8): per-vector scale + code
+    audit scalars (range, checksum, reconstruction bound). Explicit
+    floor(x/scale + 0.5) half-up rounding makes Spark and DuckDB take
+    bit-identical quantization decisions; within-row HOFs only — zero
+    shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        sim.quantize_int8(emb)
+        .select("vec_id", "scale", "q_min", "q_max", "q_sum", "max_abs_err")
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering (driver-cap mitigation, VERDICT r3 item 2).
 #

@@ -916,3 +916,85 @@ def test_extract_url_domains(spark):
     assert set(out) == {"a.com", "b.org"}
     assert out["a.com"].n_urls == 3 and out["a.com"].n_docs == 2
     assert out["b.org"].n_urls == 1 and out["b.org"].n_docs == 1
+
+
+def test_split_assign_properties(spark, docs):
+    """Deterministic splits: total coverage, partitioning invariance,
+    consistency with deterministic_sample, and validation errors."""
+    from sqlite_otel_spark.datapipe import sample as smp
+
+    base = docs.select("doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    assigned = smp.split_assign(base, splits)
+    rows = {r.doc_id: r.split for r in assigned.collect()}
+    # exactly one label per row, all labels legal
+    assert len(rows) == base.count()
+    assert set(rows.values()) <= set(splits)
+    # partitioning-invariant
+    rows_b = {r.doc_id: r.split for r in
+              smp.split_assign(base.repartition(7), splits).collect()}
+    assert rows == rows_b
+    # consistency: the train split IS the 0.8 deterministic sample
+    k80 = {r.doc_id for r in smp.deterministic_sample(base, 0.8).collect()}
+    assert {d for d, s in rows.items() if s == "train"} == k80
+    # shares near targets
+    n = len(rows)
+    for name, frac in splits.items():
+        got = sum(1 for s in rows.values() if s == name) / n
+        assert abs(got - frac) < 0.1, (name, got)
+    with pytest.raises(ValueError, match="sum to 1"):
+        smp.split_assign(base, {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="two splits"):
+        smp.split_assign(base, {"all": 1.0})
+
+
+def test_mixture_weights_math(spark):
+    """Weights move the mixture toward the target: hand fixture where
+    'en' is 75% of tokens but targeted at 50%."""
+    from sqlite_otel_spark.datapipe import sample as smp
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c d e f"), (2, "en", "a b c d e f"),
+         (3, "en", "a b c"), (4, "es", "x y z w v")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in
+           smp.mixture_weights(df, {"en": 0.5, "es": 0.5}).collect()}
+    assert out["en"].n_tokens == 15 and out["es"].n_tokens == 5
+    assert out["en"].token_share == 0.75 and out["es"].token_share == 0.25
+    # en downsampled to 0.5/0.75; es capped at 1.0 (downsample-only)
+    assert abs(out["en"].weight - round(0.5 / 0.75, 6)) < 1e-9
+    assert out["es"].weight == 1.0
+    # unlisted stratum -> target 0, weight 0
+    out2 = {r.lang: r for r in smp.mixture_weights(df, {"es": 1.0}).collect()}
+    assert out2["en"].weight == 0.0 and out2["en"].target_share == 0.0
+
+
+def test_quantize_int8_bounds(spark, emb):
+    """int8 quantization: codes in [-127,127], reconstruction error
+    bounded by scale/2, zero vector safe, round-trip cosine close."""
+    rows = sim.quantize_int8(emb).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert -127 <= r.q_min <= r.q_max <= 127
+        # scale is rounded to 6, so allow half-ulp slack on the bound
+        assert r.max_abs_err <= r.scale / 2 + 1e-6, r.vec_id
+    # zero vector: scale 0, all-zero code, zero error
+    z = spark.createDataFrame([(0, [0.0] * 8)],
+                              "vec_id long, embedding array<float>")
+    zr = sim.quantize_int8(z).collect()[0]
+    assert zr.scale == 0.0 and zr.q_min == zr.q_max == 0
+    assert zr.max_abs_err == 0.0
+    # dequantized vectors preserve cosine geometry (spot check)
+    import math
+
+    src = {r.vec_id: r.embedding for r in emb.limit(3).collect()}
+    q = {r.vec_id: (r.qvec, r.scale) for r in
+         sim.quantize_int8(emb.limit(3)).collect()}
+    for vid, v in src.items():
+        qv, s = q[vid]
+        deq = [x * s for x in qv]
+        dot = sum(a * b for a, b in zip(v, deq))
+        cos = dot / (math.sqrt(sum(a * a for a in v))
+                     * math.sqrt(sum(b * b for b in deq)))
+        assert cos > 0.999
