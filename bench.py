@@ -332,6 +332,8 @@ def time_queries(spark) -> dict[str, float]:
         "dp_text_normalize", "dp_pii_redact", "dp_doc_chunks",
         "dp_repetition_signals", "dp_decontaminate", "dp_sequence_pack",
         "extra_asof_join",
+        # session-3 ops: split/mixture/quantize (narrow or single-agg)
+        "dp_train_split", "dp_mixture_weights", "dp_embedding_quantize",
     ]
     out = {}
     for name in names:
