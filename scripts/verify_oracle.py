@@ -59,6 +59,16 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # Surface the exact registry order vs the external driver's
+    # 50-entry window (ADVICE r4): entries 51+ are verified ONLY by
+    # this script + pytest, so the excluded list must be deterministic
+    # and visible in the round record.
+    names = list(qs)
+    if not name_filter and len(names) > 50:
+        print(f"registry: {len(names)} entries; driver window = first 50;"
+              " excluded (verified here):")
+        for i, n in enumerate(names[50:], start=51):
+            print(f"  {i}. {n}")
     failures = []
     for name, fn in qs.items():
         if name_filter and name_filter not in name:

@@ -134,7 +134,16 @@ def mixture_weights(df: DataFrame, targets: dict[str, float],
     for value, t_share in sorted(targets.items()):
         target = F.when(F.col(strata_col) == value,
                         F.lit(t_share)).otherwise(target)
-    weight = F.least(F.lit(weight_cap), target / share)
+    # Zero-token strata have no share to scale: target/share is 0/0
+    # (NULL in Spark, NaN in DuckDB — divergent, and least() skipping
+    # the NULL silently yielded weight=cap for a stratum whose target
+    # is 0, ADVICE r4). Explicit: untargeted zero strata drop (0.0),
+    # targeted ones keep-all (cap) — there is nothing to downsample.
+    weight = F.when(
+        F.col("n_tokens") > 0, F.least(F.lit(weight_cap), target / share)
+    ).otherwise(
+        F.when(target > 0, F.lit(float(weight_cap))).otherwise(F.lit(0.0))
+    )
     return per.select(
         strata_col,
         "n_docs",

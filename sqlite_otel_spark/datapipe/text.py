@@ -499,6 +499,12 @@ def pack_sequences(chunks, budget: int = 64, n_buckets: int = 8,
     stable under any cluster size. At 100 TB raise n_buckets to O(10k);
     packing quality is unaffected (each bucket packs densely).
 
+    seq_id encodes (bucket << 40) | seq_in_bucket: up to 2^40 sequences
+    per bucket (~7e13 tokens/bucket at budget=64) and 2^23 buckets
+    before overflow — both orders of magnitude past the 100 TB design
+    point. (The previous bucket*1e6 encoding silently collided across
+    buckets at ~64M tokens/bucket, ADVICE r4.)
+
     Returns one row per sequence: seq_id, n_chunks, n_tokens,
     n_docs (distinct source documents packed together).
     """
@@ -515,7 +521,8 @@ def pack_sequences(chunks, budget: int = 64, n_buckets: int = 8,
     seq_in_bucket = F.floor(cum_before / F.lit(budget))
     c = c.withColumn(
         "seq_id",
-        (F.col("bucket") * F.lit(1_000_000) + seq_in_bucket).cast("long"),
+        (F.shiftleft(F.col("bucket").cast("long"), 40)
+         + seq_in_bucket).cast("long"),
     )
     return c.groupBy("seq_id").agg(
         F.count("*").cast("long").alias("n_chunks"),

@@ -18,7 +18,8 @@ like any keyed shuffle — salt upstream if a single key's rows exceed a
 partition (same remedy as the pipeline's conv_id salting).
 
 Determinism: ties among right rows at identical (key, ts) are broken by
-``right_order`` (largest wins — it sorts last and last() carries it),
+``right_order`` in its native type — any orderable column, string ids
+included (largest wins — it sorts last and last() carries it),
 so results are stable across cluster sizes and match the DuckDB oracle
 twin, which uses the same union-window formulation (plain ANSI window
 functions; DuckDB's native ASOF JOIN leaves same-ts right-row ties
@@ -49,14 +50,19 @@ def asof_join(
     (largest value wins).
     """
     carried = [f"{prefix}{c}" for c in right_cols]
+    # The tiebreak keeps its NATIVE type: any orderable column (string
+    # ids included) works. The old cast-to-long turned non-numeric
+    # tiebreaks into NULL for every row, silently voiding the
+    # determinism guarantee (ADVICE r4).
+    tie_type = right.schema[right_order].dataType
     l2 = left.withColumn("__side", F.lit(1)).withColumn(
-        "__tie", F.lit(None).cast("long")
+        "__tie", F.lit(None).cast(tie_type)
     )
     r2 = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("__side"),
-        F.col(right_order).cast("long").alias("__tie"),
+        F.col(right_order).alias("__tie"),
         *[F.col(c).alias(p) for c, p in zip(right_cols, carried)],
     )
     u = l2.unionByName(r2, allowMissingColumns=True)

@@ -97,8 +97,18 @@ def run_pipeline(
     transcripts: DataFrame,
     cfg: PipelineConfig | None = None,
     repartition_to: int | None = None,
-    do_salt: bool = True,
+    do_salt: bool = False,
 ) -> PipelineResult:
+    """``do_salt`` defaults OFF (round-4 measurement): parse->facts is
+    narrow, so on byte-balanced scan splits the salt is a pure extra
+    full-corpus shuffle — the matched-window skew experiment clocked
+    salt-on at ~2x the salt-off wall even with 30% of turns in one
+    conv_id (BENCH_r4: skew_salt_speedup 0.486). Turn it ON only for
+    conversation-CLUSTERED ingest layouts (sorted-by-conv files /
+    coarse row groups), where a handful of scan splits would otherwise
+    pin the whole parse stage — bench.py measures that layout
+    explicitly (skew_clustered_* rows). AQE skew-join handling stays on
+    in both modes."""
     cfg = cfg or PipelineConfig()
     mode = cfg.surrogate_id_mode
 

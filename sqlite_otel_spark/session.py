@@ -50,6 +50,12 @@ def get_spark(
         # path. Kryo writes flat buffers: less garbage, no deep
         # recursion, and it is the standard production setting.
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # Python-worker crash diagnostics (VERDICT r4 item 3): the r4
+        # bench tail showed "Python worker exited unexpectedly" with no
+        # traceback — indistinguishable between a kill cascade and a
+        # real OOM. faulthandler dumps the worker's Python stack on
+        # hard death; negligible steady-state cost.
+        "spark.python.worker.faulthandler.enabled": "true",
     }
     # Single-JVM local mode under load: the default 1g heap GC-thrashes
     # with 32 concurrent tasks, and AlwaysPreTouch prepays the (lazily
