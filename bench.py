@@ -623,14 +623,20 @@ def run_criterion_pairs(transcripts: str, n_turns: int, warmup_path: str,
             log("criterion pair: serve children failed to come up")
             return out
         pair_i = 0
-        clean_nt = clean_full = attempts_full = 0
-        mode = "notext"
+        clean_nt = clean_full = attempts_full = attempts_nt = 0
         while time.monotonic() + est_pair < deadline:
-            if mode == "notext" and (clean_nt >= k_pairs
-                                     or pair_i >= k_pairs + 3):
+            # Mode interleave (r5a lesson: all-notext-then-full starved
+            # the fulltext pair when storms ate the phase budget): the
+            # SECOND pair is fulltext, so one fulltext sample exists
+            # whenever the budget allows two pairs at all; notext
+            # retries resume after it.
+            if k_full and attempts_full == 0 and pair_i >= 1:
                 mode = "full"
-            if mode == "full" and (k_full == 0 or clean_full >= k_full
-                                   or attempts_full >= k_full + 2):
+            elif clean_nt < k_pairs and attempts_nt < k_pairs + 3:
+                mode = "notext"
+            elif k_full and clean_full < k_full and attempts_full < k_full + 2:
+                mode = "full"
+            else:
                 break
             t_pair = time.monotonic()
             # SANDWICH legs hi,lo,hi: the short level runs immediately
@@ -674,6 +680,7 @@ def run_criterion_pairs(transcripts: str, n_turns: int, warmup_path: str,
             if mode == "notext":
                 out["pairs"].append(rec)
                 clean_nt += clean
+                attempts_nt += 1
             else:
                 out["pairs_full"].append(rec)
                 clean_full += clean
@@ -1099,7 +1106,7 @@ def main() -> None:
     #    <1% steal, observed r4) can swallow it entirely, and steal%
     #    cannot flag it. Temporal diversity is the only defense a
     #    single level has: wall@CPUS = min over the two windows.
-    if remaining() > 240 and CPUS in STATE["results"]:
+    if remaining() > 150 and CPUS in STATE["results"]:
         r2 = spawn_level(f"local[{CPUS}]", CPUS, 2 * CPUS, 1, 0,
                          transcripts_path, n_turns, warmup_path, False,
                          int(remaining() - 30))
@@ -1111,7 +1118,7 @@ def main() -> None:
             h["clean"] = (h.get("clean") or 0) + (r2.get("clean") or 0)
             if r2["wall"] < h["wall"]:
                 h["wall"] = r2["wall"]
-    elif remaining() > 240:
+    elif remaining() > 150:
         r2 = spawn_level(f"local[{CPUS}]", CPUS, 2 * CPUS, 2, 0,
                          transcripts_path, n_turns, warmup_path, False,
                          int(remaining() - 30))
