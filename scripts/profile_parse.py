@@ -27,56 +27,61 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_kernel(batches, out_schema, max_text_bytes=10 * 1024 * 1024,
                emit_text=True) -> int:
     """operators/records.py gen(), replayed verbatim."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sqlite_otel_spark.functions.parse import parse_turn
     from sqlite_otel_spark.operators.records import (
         _INPUT_COLS,
         _KIND_FIELDS,
         _LINEAGE,
-        _TURN_COLS,
         _batch,
     )
-    from sqlite_otel_spark.functions.parse import parse_turn
 
     n_out = 0
     for rb in batches:
-        turn_cols = _TURN_COLS if emit_text else (*_TURN_COLS, "n_bytes")
-        acc = {
-            "turn": {c: [] for c in (*_LINEAGE, *turn_cols)},
-            **{
-                k: {c: [] for c in (*_LINEAGE, *fields)}
-                for k, (_, fields) in _KIND_FIELDS.items()
-            },
-        }
-        turn = acc["turn"]
         names = rb.schema.names
-        inputs = [rb.column(names.index(c)).to_pylist() for c in _INPUT_COLS]
-        for conv, ti, role, tool, ts, text, nb in zip(*inputs):
+        col = {c: rb.column(names.index(c)) for c in _INPUT_COLS}
+        texts = col["text"].to_pylist()
+        nbs = col["nb"].to_pylist()
+        sig: list = []
+        err: list = []
+        idx: dict[str, list[int]] = {k: [] for k in _KIND_FIELDS}
+        kacc = {
+            k: {c: [] for c in fields}
+            for k, (_, fields) in _KIND_FIELDS.items()
+        }
+        for i, (text, nb) in enumerate(zip(texts, nbs)):
             p = parse_turn(text, max_text_bytes, n_bytes=nb)
-            turn["conv_id"].append(conv)
-            turn["turn_idx"].append(ti)
-            turn["role"].append(role)
-            turn["tool"].append(tool)
-            turn["ts_us"].append(ts)
-            turn["signal_type"].append(p["signal_type"])
-            turn["error"].append(p["error"])
-            turn["text"].append(text if emit_text else None)
-            if not emit_text:
-                turn["n_bytes"].append(nb)
+            sig.append(p["signal_type"])
+            err.append(p["error"])
             for kind, (plural, fields) in _KIND_FIELDS.items():
                 recs = p[plural]
                 if not recs:
                     continue
-                a = acc[kind]
+                a = kacc[kind]
+                ix = idx[kind]
                 for r in recs:
-                    a["conv_id"].append(conv)
-                    a["turn_idx"].append(ti)
-                    a["role"].append(role)
-                    a["tool"].append(tool)
-                    a["ts_us"].append(ts)
+                    ix.append(i)
                     for c in fields:
                         a[c].append(r[c])
-        for kind, cols in acc.items():
-            if cols["conv_id"]:
-                n_out += _batch(kind, cols, out_schema).num_rows
+        turn_cols = {
+            **{c: col[c] for c in _LINEAGE},
+            "signal_type": sig,
+            "error": err,
+        }
+        if emit_text:
+            turn_cols["text"] = col["text"]
+        else:
+            turn_cols["n_bytes"] = col["nb"]
+        n_out += _batch("turn", rb.num_rows, turn_cols, out_schema).num_rows
+        for kind, ix in idx.items():
+            if not ix:
+                continue
+            ixa = pa.array(ix, type=pa.int64())
+            cols = {c: pc.take(col[c], ixa) for c in _LINEAGE}
+            cols.update(kacc[kind])
+            n_out += _batch(kind, len(ix), cols, out_schema).num_rows
     return n_out
 
 
@@ -101,7 +106,7 @@ def main() -> None:
     tbl = tbl.add_column(
         len(tbl.schema), "nb", pc.binary_length(tbl.column("text")))
     tbl = tbl.select(list(_INPUT_COLS))
-    batches = tbl.to_batches(max_chunksize=50_000)
+    batches = tbl.combine_chunks().to_batches(max_chunksize=50_000)
     print(f"{tbl.num_rows} turns in {len(batches)} arrow batches from {path}")
     out_schema = _pa_schema(extra_n_bytes=False)
 

@@ -148,15 +148,42 @@ def _orjson_exact(obj: Any) -> bool:
     return False
 
 
+# Canonicalization memo (round 5, profiler-driven): telemetry attribute
+# trees repeat massively (resource/scope dims by construction, point/log
+# attributes from small real-world label sets — 1.34M canonical_dumps
+# calls over 200k fixture turns hit a few hundred distinct trees). The
+# memo key is the UNSORTED C-side orjson dump of the tree: injective on
+# value trees (two structurally different trees cannot print the same
+# bytes; two key-orderings of the same dict just miss each other and
+# both compute the same canonical output), so memoization is
+# semantically invisible. Anything orjson cannot dump (non-str keys,
+# lone surrogates, exotic types) skips the memo and takes the reference
+# path. Bounded: cleared at 64k entries (dims are few; a pathological
+# all-distinct stream degrades to the uncached cost plus one C dump).
+_MEMO_MAX = 1 << 16
+_memo: dict[bytes, str] = {}
+
+
 def canonical_dumps(obj: Any) -> str:
     """Serialize like Go json.Marshal: sorted keys, compact, HTML-escaped.
     ``None`` serializes to ``"null"`` — load-bearing: missing span
     attributes/events/links marshal to the string "null"
     (database/traces.go:130-146 marshals a nil interface{}).
 
-    The hot path (this is >half of parse-stage CPU) is C-side
-    orjson.dumps whenever the tree is in the byte-exactness-proven
-    domain; anything risky falls back to the stdlib reference path."""
+    The hot path (this is >half of parse-stage CPU) is the repeat-tree
+    memo above, then C-side orjson.dumps whenever the tree is in the
+    byte-exactness-proven domain; anything risky falls back to the
+    stdlib reference path."""
+    key = None
+    if _orjson is not None and type(obj) in (dict, list):
+        try:
+            key = _orjson.dumps(obj)
+        except Exception:
+            key = None
+        if key is not None:
+            hit = _memo.get(key)
+            if hit is not None:
+                return hit
     s = None
     if _orjson is not None and _orjson_exact(obj):
         try:
@@ -178,6 +205,10 @@ def canonical_dumps(obj: Any) -> str:
     for ch, esc in _GO_ESCAPES:
         if ch in s:
             s = s.replace(ch, esc)
+    if key is not None:
+        if len(_memo) >= _MEMO_MAX:
+            _memo.clear()
+        _memo[key] = s
     return s
 
 

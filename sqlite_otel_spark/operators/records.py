@@ -87,19 +87,22 @@ def _pa_schema(extra_n_bytes: bool) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _batch(kind: str, cols: dict[str, list], schema: pa.Schema) -> pa.RecordBatch:
-    """Assemble a full-width RecordBatch for one kind; columns the kind
-    doesn't produce are null-filled (O(1) null bitmaps, no per-row
-    Python)."""
-    n = len(cols["conv_id"])
+def _batch(kind: str, n: int, cols: dict, schema: pa.Schema) -> pa.RecordBatch:
+    """Assemble a full-width RecordBatch for one kind; ``cols`` values
+    are either ready ``pa.Array``s (zero-copy lineage passthrough /
+    C-side takes) or Python lists; columns the kind doesn't produce are
+    null-filled (O(1) null bitmaps, no per-row Python)."""
     arrays = []
     for f in schema:
+        v = cols.get(f.name)
         if f.name == "rec_kind":
             arrays.append(pa.array([kind] * n, type=f.type))
-        elif f.name in cols:
-            arrays.append(pa.array(cols[f.name], type=f.type))
-        else:
+        elif v is None:
             arrays.append(pa.nulls(n, type=f.type))
+        elif isinstance(v, pa.Array):
+            arrays.append(v if v.type == f.type else v.cast(f.type))
+        else:
+            arrays.append(pa.array(v, type=f.type))
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
@@ -117,46 +120,59 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
     out_schema = _pa_schema(extra_n_bytes=not emit_text)
 
     def gen(batches):
+        # Lineage columns (conv_id/turn_idx/role/tool/ts_us) never pass
+        # through Python (round-5, profiler-driven: the per-record
+        # lineage appends + to_pylist were ~30% of kernel wall): turn
+        # rows are 1:1 with input rows, so their lineage AND text/nb
+        # columns are the input arrays themselves (zero copy); record
+        # rows carry one input-row INDEX each and their lineage comes
+        # from one C-side ``take`` per column. Only the parse payload
+        # fields cross the Python boundary.
+        import pyarrow.compute as pc
+
         for rb in batches:
-            turn_cols = _TURN_COLS if emit_text else (*_TURN_COLS, "n_bytes")
-            acc: dict[str, dict[str, list]] = {
-                "turn": {c: [] for c in (*_LINEAGE, *turn_cols)},
-                **{
-                    k: {c: [] for c in (*_LINEAGE, *fields)}
-                    for k, (_, fields) in _KIND_FIELDS.items()
-                },
-            }
-            turn = acc["turn"]
             names = rb.schema.names
-            inputs = [rb.column(names.index(c)).to_pylist() for c in _INPUT_COLS]
-            for conv, ti, role, tool, ts, text, nb in zip(*inputs):
+            col = {c: rb.column(names.index(c)) for c in _INPUT_COLS}
+            texts = col["text"].to_pylist()
+            nbs = col["nb"].to_pylist()
+            sig: list = []
+            err: list = []
+            idx: dict[str, list[int]] = {k: [] for k in _KIND_FIELDS}
+            kacc: dict[str, dict[str, list]] = {
+                k: {c: [] for c in fields}
+                for k, (_, fields) in _KIND_FIELDS.items()
+            }
+            for i, (text, nb) in enumerate(zip(texts, nbs)):
                 p = parse_turn(text, max_text_bytes, n_bytes=nb)
-                turn["conv_id"].append(conv)
-                turn["turn_idx"].append(ti)
-                turn["role"].append(role)
-                turn["tool"].append(tool)
-                turn["ts_us"].append(ts)
-                turn["signal_type"].append(p["signal_type"])
-                turn["error"].append(p["error"])
-                turn["text"].append(text if emit_text else None)
-                if not emit_text:
-                    turn["n_bytes"].append(nb)
+                sig.append(p["signal_type"])
+                err.append(p["error"])
                 for kind, (plural, fields) in _KIND_FIELDS.items():
                     recs = p[plural]
                     if not recs:
                         continue
-                    a = acc[kind]
+                    a = kacc[kind]
+                    ix = idx[kind]
                     for r in recs:
-                        a["conv_id"].append(conv)
-                        a["turn_idx"].append(ti)
-                        a["role"].append(role)
-                        a["tool"].append(tool)
-                        a["ts_us"].append(ts)
+                        ix.append(i)
                         for c in fields:
                             a[c].append(r[c])
-            for kind, cols in acc.items():
-                if cols["conv_id"]:
-                    yield _batch(kind, cols, out_schema)
+            turn_cols = {
+                **{c: col[c] for c in _LINEAGE},
+                "signal_type": sig,
+                "error": err,
+            }
+            if emit_text:
+                turn_cols["text"] = col["text"]
+            else:
+                turn_cols["n_bytes"] = col["nb"]
+            yield _batch("turn", rb.num_rows, turn_cols, out_schema)
+            for kind, ix in idx.items():
+                if not ix:
+                    continue
+                ixa = pa.array(ix, type=pa.int64())
+                cols = {c: pc.take(col[c], ixa) for c in _LINEAGE}
+                cols.update(kacc[kind])
+                yield _batch(kind, len(ix), cols, out_schema)
 
     from pyspark.sql import functions as F
 

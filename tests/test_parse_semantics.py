@@ -275,6 +275,31 @@ def test_canonical_dumps_go_parity(obj, want):
     assert canonical_dumps(obj) == want
 
 
+def test_canonical_dumps_memo_is_transparent():
+    """The repeat-tree memo (round 5) must be semantically invisible:
+    repeated calls return the same bytes, a mutated tree re-computes
+    (the memo keys on the tree's current value, not object identity),
+    and two key-orderings of one dict both canonicalize identically."""
+    from sqlite_otel_spark.functions import canonical_json as cj
+
+    obj = {"b": [1.0, {"z": "<&>"}], "a": "x"}
+    first = canonical_dumps(obj)
+    assert canonical_dumps(obj) == first            # memo hit
+    assert canonical_dumps({"a": "x", "b": [1.0, {"z": "<&>"}]}) == first
+    obj["a"] = "y"                                   # mutation -> new key
+    assert canonical_dumps(obj) == first.replace('"a":"x"', '"a":"y"')
+    # cap behavior: overflowing the memo clears it but never changes output
+    old_max, cj._MEMO_MAX = cj._MEMO_MAX, 2
+    try:
+        cj._memo.clear()
+        outs = [canonical_dumps({"k": float(i)}) for i in range(5)]
+        assert outs == [f'{{"k":{i}}}' for i in range(5)]
+        assert len(cj._memo) <= 2
+    finally:
+        cj._MEMO_MAX = old_max
+        cj._memo.clear()
+
+
 def test_go_loads_numbers_are_float64_equivalent():
     """The decoder may return int or float (orjson fast path vs stdlib),
     but every OBSERVABLE behavior must match Go's float64 model: 2^53+1
