@@ -225,10 +225,74 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int] | None:
         return None
 
 
+def _gif_lzw(min_cs: int, data: bytes, expected: int) -> bytes | None:
+    """GIF-variant LZW decompression (GIF89a spec appendix F):
+    LSB-first variable-width codes, clear/end codes, dictionary capped
+    at 4096 entries, code width growing as the dictionary fills.
+    Returns exactly ``expected`` palette-index bytes, or None when the
+    stream is truncated/corrupt."""
+    if not 2 <= min_cs <= 8:
+        return None
+    clear = 1 << min_cs
+    end = clear + 1
+    nbits = len(data) * 8
+    bitpos = 0
+    out = bytearray()
+
+    def reset() -> tuple[list[bytes], int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_cs + 1
+
+    table, size = reset()
+    prev: bytes | None = None
+    while len(out) < expected:
+        if bitpos + size > nbits:
+            return None
+        byte = bitpos >> 3
+        code = (int.from_bytes(data[byte:byte + 3], "little")
+                >> (bitpos & 7)) & ((1 << size) - 1)
+        bitpos += size
+        if code == clear:
+            table, size = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # The decoder's dictionary lags the encoder by ONE entry
+            # (the entry derived from code k lands while the encoder is
+            # already past it), so the code width grows when len+1 hits
+            # the boundary — growing at len == 2^size reads the next
+            # code one bit short (the classic GIF-LZW off-by-one).
+            if len(table) + 1 == (1 << size) and size < 12:
+                size += 1
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+# Interlaced GIFs store rows in four passes (spec §20).
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
 def decode_gif(data: bytes) -> tuple[int, int, int] | None:
-    """Parse the GIF logical screen descriptor with the stdlib:
-    (width, height, crc32-of-payload), or None when not GIF87a/89a.
-    Spec: the public GIF89a specification §18."""
+    """Decode the first frame of a GIF87a/89a entirely with the stdlib
+    (the pixel analogue of the PNG unfilter path): walks the block
+    structure (extensions skipped, color tables skipped — the checksum
+    is over palette INDICES, matching the PNG palette color type, which
+    checksums index bytes), LZW-decompresses the image data, and
+    de-interlaces when flagged. Returns (screen_width, screen_height,
+    crc32-of-first-frame-index-bytes). A GIF whose pixel stream cannot
+    be decoded degrades to the header-level form (width, height,
+    crc32-of-payload) — geometry is still real, like the JPEG path.
+    Spec: the public GIF89a specification (§18 logical screen
+    descriptor, §20 image descriptor, appendix F LZW)."""
     import struct
     import zlib
 
@@ -236,9 +300,54 @@ def decode_gif(data: bytes) -> tuple[int, int, int] | None:
         return None
     try:
         width, height = struct.unpack("<HH", data[6:10])
-        return width, height, zlib.crc32(bytes(data))
     except Exception:
         return None
+    header = (width, height, zlib.crc32(bytes(data)))
+    try:
+        if len(data) < 13:
+            return header
+        pos = 13
+        if data[10] & 0x80:  # global color table: 3 * 2^(n+1) bytes
+            pos += 3 * (2 << (data[10] & 0x07))
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x21:  # extension: label byte + sub-blocks
+                pos += 2
+                while pos < len(data) and data[pos]:
+                    pos += data[pos] + 1
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                fw, fh = struct.unpack("<HH", data[pos + 5:pos + 9])
+                fpacked = data[pos + 9]
+                pos += 10
+                if fpacked & 0x80:  # local color table
+                    pos += 3 * (2 << (fpacked & 0x07))
+                min_cs = data[pos]
+                pos += 1
+                blocks = bytearray()
+                while pos < len(data) and data[pos]:
+                    n = data[pos]
+                    blocks += data[pos + 1:pos + 1 + n]
+                    pos += n + 1
+                idxs = _gif_lzw(min_cs, bytes(blocks), fw * fh)
+                if idxs is None or fw == 0 or fh == 0:
+                    return header
+                if fpacked & 0x40:  # interlaced: restore raster order
+                    out = bytearray(fw * fh)
+                    dst_rows = [r for start, step in _GIF_PASSES
+                                for r in range(start, fh, step)]
+                    for src, dst in enumerate(dst_rows):
+                        out[dst * fw:(dst + 1) * fw] = (
+                            idxs[src * fw:(src + 1) * fw])
+                    idxs = bytes(out)
+                return width, height, zlib.crc32(idxs)
+            elif block == 0x3B:  # trailer before any image
+                return header
+            else:
+                return header
+        return header
+    except Exception:
+        return header
 
 
 def is_media_magic(payload: bytes | None) -> bool:
