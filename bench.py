@@ -1077,9 +1077,14 @@ def main() -> None:
                                             "1") != "0":
         supp: dict = {}
         STATE["supp"] = supp
+        # Cap sized for TWO sandwich pairs (r5b measured ~470 s/pair +
+        # ~180 s startup with the optimized kernel; the whole r5b
+        # protocol finished in 1947 s of the 2900 s budget): a single
+        # pair's eff swings ±0.06 with bracketing-leg drift, and the
+        # criterion median needs at least two samples to damp it.
         run_criterion_pairs(
             transcripts_path, n_turns, warmup_path, k_pairs=2, k_full=0,
-            budget=int(min(1000, remaining() - 90)), lo=1, hi=4,
+            budget=int(min(1400, remaining() - 90)), lo=1, hi=4,
             out=supp, on_pair=lambda: emit_record())
     else:
         STATE["failed"].append("criterion-pair-1-4 (budget)")
