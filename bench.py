@@ -446,14 +446,25 @@ def time_queries(spark) -> dict[str, float]:
     out = {}
     for name in names:
         fn = Q.QUERIES[name]
-        t0 = time.monotonic()
-        try:
-            n = fn(spark, SF_DIR).count()
-        except Exception as e:  # one broken query must not kill the record
-            log(f"  {name}: FAILED ({type(e).__name__}: {e})")
-            continue
-        out[name] = round(time.monotonic() - t0, 3)
-        log(f"  {name}: {out[name]}s ({n} rows)")
+        # one storm retry per query (r5b recorded dp_minhash_lsh at 35 s
+        # inside a steal burst vs its real 6 s; queries are cheap, so a
+        # single stormy-sample retry costs seconds and saves the record)
+        for _attempt in (0, 1):
+            b0, s0 = _cpu_sample()
+            t0 = time.monotonic()
+            try:
+                n = fn(spark, SF_DIR).count()
+            except Exception as e:  # a broken query must not kill the record
+                log(f"  {name}: FAILED ({type(e).__name__}: {e})")
+                break
+            wall = round(time.monotonic() - t0, 3)
+            b1, s1 = _cpu_sample()
+            steal = round(100.0 * (s1 - s0) / max(b1 - b0 + s1 - s0, 1), 2)
+            if name not in out or wall < out[name]:
+                out[name] = wall
+            log(f"  {name}: {wall}s ({n} rows, steal {steal}%)")
+            if steal <= STEAL_MAX:
+                break
     return out
 
 
