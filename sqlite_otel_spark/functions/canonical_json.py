@@ -164,6 +164,25 @@ _MEMO_MAX = 1 << 16
 _memo: dict[bytes, str] = {}
 
 
+def _memo_safe(obj: Any) -> bool:
+    """ADVICE r5 (high): orjson.dumps serializes NaN/Infinity as null, so
+    {"a": nan} and {"a": None} would share a memo KEY while canonicalizing
+    to different bytes ('{"a":NaN}' vs '{"a":null}') — a call-order-
+    dependent collision. Non-finite floats are reachable via go_loads's
+    stdlib fallback (it accepts NaN/Infinity literals), so trees
+    containing them must skip the memo. Cheap recursive scan; every other
+    orjson-dumpable tree keeps the injectivity argument (two structurally
+    different finite trees cannot print the same bytes)."""
+    t = type(obj)
+    if t is float:
+        return math.isfinite(obj)
+    if t is dict:
+        return all(_memo_safe(v) for v in obj.values())
+    if t is list:
+        return all(_memo_safe(v) for v in obj)
+    return True
+
+
 def canonical_dumps(obj: Any) -> str:
     """Serialize like Go json.Marshal: sorted keys, compact, HTML-escaped.
     ``None`` serializes to ``"null"`` — load-bearing: missing span
@@ -179,6 +198,13 @@ def canonical_dumps(obj: Any) -> str:
         try:
             key = _orjson.dumps(obj)
         except Exception:
+            key = None
+        # NaN/Infinity serialize as 'null' under orjson, so an unsafe
+        # tree's key ALWAYS contains b"null" — the C-speed substring
+        # check gates the (rare) Python walk, keeping the hot path one
+        # dict probe. Unsafe trees skip the memo entirely (neither
+        # looked up nor stored).
+        if key is not None and b"null" in key and not _memo_safe(obj):
             key = None
         if key is not None:
             hit = _memo.get(key)

@@ -300,6 +300,32 @@ def test_canonical_dumps_memo_is_transparent():
         cj._memo.clear()
 
 
+def test_canonical_dumps_nan_never_aliases_null():
+    """ADVICE r5 (high): orjson dumps NaN/Infinity as 'null', so a NaN
+    tree and a null tree would share a memo key while canonicalizing to
+    different bytes. Non-finite trees must bypass the memo in BOTH
+    directions, in any call order."""
+    import math
+
+    from sqlite_otel_spark.functions import canonical_json as cj
+
+    cj._memo.clear()
+    try:
+        # order 1: NaN first, then null
+        assert canonical_dumps({"a": math.nan}) == '{"a":NaN}'
+        assert canonical_dumps({"a": None}) == '{"a":null}'
+        # order 2 (fresh memo): null first, then NaN / inf
+        cj._memo.clear()
+        assert canonical_dumps({"a": None}) == '{"a":null}'
+        assert canonical_dumps({"a": math.nan}) == '{"a":NaN}'
+        assert canonical_dumps({"a": math.inf}) == '{"a":Infinity}'
+        assert canonical_dumps({"a": [1.0, -math.inf]}) == '{"a":[1,-Infinity]}'
+        # finite trees whose VALUES contain "null" text still memoize
+        assert canonical_dumps({"a": None}) == '{"a":null}'
+    finally:
+        cj._memo.clear()
+
+
 def test_go_loads_numbers_are_float64_equivalent():
     """The decoder may return int or float (orjson fast path vs stdlib),
     but every OBSERVABLE behavior must match Go's float64 model: 2^53+1
