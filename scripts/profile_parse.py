@@ -1,13 +1,12 @@
 """Offline profile of the parse hot loop (no Spark/JVM needed).
 
-The per-turn Python kernel (operators/records.py gen -> functions/
-parse.py parse_turn) is the dominant e2e pipeline cost (VERDICT r4
-item 6). This script replays the kernel's exact accumulation loop over
-fixture batches read straight from the cached bench parquet via
-pyarrow, under cProfile, so optimization work aims at measured hot
-frames instead of guesses. The loop body below mirrors
-operators/records.py gen() line-for-line (imports the same
-parse_turn/_batch/_KIND_FIELDS) — keep them in sync.
+The per-turn Python kernel (operators/records.py make_kernel ->
+functions/parse.py parse_turn_into) is the dominant Python-side
+pipeline cost. This script replays the REAL kernel (imported from
+operators/records.py — ADVICE r5 #2: no hand-kept copy to
+desynchronize) over fixture batches read straight from the cached bench
+parquet via pyarrow, under cProfile, so optimization work aims at
+measured hot frames instead of guesses.
 
 Usage:
     python scripts/profile_parse.py [n_turns] [path-to-transcripts.parquet]
@@ -26,63 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_kernel(batches, out_schema, max_text_bytes=10 * 1024 * 1024,
                emit_text=True) -> int:
-    """operators/records.py gen(), replayed verbatim."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    """Drive the real operators/records.py kernel over ``batches``."""
+    from sqlite_otel_spark.operators.records import make_kernel
 
-    from sqlite_otel_spark.functions.parse import parse_turn
-    from sqlite_otel_spark.operators.records import (
-        _INPUT_COLS,
-        _KIND_FIELDS,
-        _LINEAGE,
-        _batch,
-    )
-
-    n_out = 0
-    for rb in batches:
-        names = rb.schema.names
-        col = {c: rb.column(names.index(c)) for c in _INPUT_COLS}
-        texts = col["text"].to_pylist()
-        nbs = col["nb"].to_pylist()
-        sig: list = []
-        err: list = []
-        idx: dict[str, list[int]] = {k: [] for k in _KIND_FIELDS}
-        kacc = {
-            k: {c: [] for c in fields}
-            for k, (_, fields) in _KIND_FIELDS.items()
-        }
-        for i, (text, nb) in enumerate(zip(texts, nbs)):
-            p = parse_turn(text, max_text_bytes, n_bytes=nb)
-            sig.append(p["signal_type"])
-            err.append(p["error"])
-            for kind, (plural, fields) in _KIND_FIELDS.items():
-                recs = p[plural]
-                if not recs:
-                    continue
-                a = kacc[kind]
-                ix = idx[kind]
-                for r in recs:
-                    ix.append(i)
-                    for c in fields:
-                        a[c].append(r[c])
-        turn_cols = {
-            **{c: col[c] for c in _LINEAGE},
-            "signal_type": sig,
-            "error": err,
-        }
-        if emit_text:
-            turn_cols["text"] = col["text"]
-        else:
-            turn_cols["n_bytes"] = col["nb"]
-        n_out += _batch("turn", rb.num_rows, turn_cols, out_schema).num_rows
-        for kind, ix in idx.items():
-            if not ix:
-                continue
-            ixa = pa.array(ix, type=pa.int64())
-            cols = {c: pc.take(col[c], ixa) for c in _LINEAGE}
-            cols.update(kacc[kind])
-            n_out += _batch(kind, len(ix), cols, out_schema).num_rows
-    return n_out
+    gen = make_kernel(out_schema, max_text_bytes, emit_text)
+    return sum(rb.num_rows for rb in gen(batches))
 
 
 def main() -> None:

@@ -70,6 +70,13 @@ def go_loads(text: str) -> Any:
     stripped = text.lstrip()
     if not stripped:
         raise ValueError("EOF")  # empty body — handler_common.go:38-41
+    return _loads_stripped(stripped)
+
+
+def _loads_stripped(stripped: str) -> Any:
+    """``go_loads`` for input already known non-empty and left-stripped
+    (the parse kernel strips once for its empty/'{' checks and decodes
+    the same string — three lstrip copies per turn collapsed to one)."""
     if _orjson is not None:
         try:
             return _orjson.loads(stripped)
@@ -193,6 +200,10 @@ def canonical_dumps(obj: Any) -> str:
     memo above, then C-side orjson.dumps whenever the tree is in the
     byte-exactness-proven domain; anything risky falls back to the
     stdlib reference path."""
+    if obj is None:
+        # constant fast path: missing span events/links and point
+        # exemplars dominate call volume in real telemetry
+        return "null"
     key = None
     if _orjson is not None and type(obj) in (dict, list):
         try:

@@ -13,11 +13,20 @@ semantics of the reference collector's write path:
    ANY record-level error discards the whole turn, including its
    dimension touches)
 
-``parse_turn``/``turn_records`` feed the pipeline's Arrow-vectorized
-``mapInArrow`` stage (operators/records.py). The pytest oracle (oracle.py) is an
-independent sequential implementation of the same Go semantics; the two
-share nothing but the canonical-JSON helper, whose correctness only
-matters for self-consistent dedup keys.
+``parse_turn_into`` feeds the pipeline's Arrow-vectorized ``mapInArrow``
+stage (operators/records.py): extractors append per-record TUPLES (in
+the *_FIELDS order) straight into batch-level accumulator lists, so the
+hot loop allocates no per-turn dicts/lists and no per-record dicts
+(round 6, profiler-driven: the dict churn + per-field append loop was
+~35% of kernel wall). Transaction rollback truncates the accumulators
+back to their pre-turn lengths. ``parse_turn`` remains the dict-shaped
+compatibility view (tests, checkpoint replay, oracle comparisons) built
+on the same tuple core — one semantics, two projections.
+
+The pytest oracle (oracle.py) is an independent sequential
+implementation of the same Go semantics; the two share nothing but the
+canonical-JSON helper, whose correctness only matters for
+self-consistent dedup keys.
 
 Semantics preserved bit-for-bit (each encoded as a unit test):
  - traces/metrics skip malformed *shapes* (non-map elements, missing
@@ -55,7 +64,17 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from sqlite_otel_spark.functions.canonical_json import canonical_dumps, go_loads
+from sqlite_otel_spark.functions.canonical_json import (
+    _loads_stripped,
+    _memo_safe,
+    canonical_dumps,
+    go_loads,
+)
+
+try:  # C-accelerated memo keys (same fallback contract as canonical_json)
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
 
 # ---------------------------------------------------------------------------
 # Output schema of the parse stage (one struct per transcript turn).
@@ -160,7 +179,11 @@ class _TurnError(Exception):
 
 def _is_num(v: Any) -> bool:
     # Go type-asserts float64; JSON bools are not numbers there either.
-    return isinstance(v, (int, float)) and not isinstance(v, bool)
+    # ``type`` identity instead of isinstance: decode yields exact
+    # int/float/bool, and type(True) is bool — the bool exclusion is
+    # free.
+    t = type(v)
+    return t is int or t is float
 
 
 def _get_string(m: dict, key: str, ctx: str) -> str:
@@ -169,13 +192,23 @@ def _get_string(m: dict, key: str, ctx: str) -> str:
     v = m.get(key)
     if v is None:
         return ""
-    if isinstance(v, str):
+    if type(v) is str:
         return v
     raise _TurnError(f"{ctx} key '{key}' has invalid type")
 
 
+_INT64_MAX = 2**63
+
+
 def _parse_time_nano(s: str) -> int:
-    """database/shared.go:122-136: trim, empty -> 0, base-10 int64."""
+    """database/shared.go:122-136: trim, empty -> 0, base-10 int64.
+    Hot path: plain ASCII digit strings (every well-formed OTLP
+    timestamp) skip the strip/sign scan entirely."""
+    if s.isascii() and s.isdigit():
+        v = int(s)
+        if v < _INT64_MAX:
+            return v
+        raise _TurnError(f"failed to parse timestamp '{s}': out of range")
     s = s.strip()
     if not s:
         return 0
@@ -184,63 +217,123 @@ def _parse_time_nano(s: str) -> int:
     if not digits.isascii() or not digits.isdigit() or not digits:
         raise _TurnError(f"failed to parse timestamp '{s}'")
     v = int(s)
-    if not -(2**63) <= v < 2**63:
+    if not -_INT64_MAX <= v < _INT64_MAX:
         raise _TurnError(f"failed to parse timestamp '{s}': out of range")
     return v
 
 
-def _resource_key(resource: dict) -> dict:
-    """GetOrCreateResource natural key (database/shared.go:25-67)."""
+# Whole-dict key memos (round 6): resource/scope envelopes repeat
+# massively (a handful of distinct services/libraries emit everything),
+# so the full natural-key TUPLE is memoized on the unsorted C-side dump
+# of the envelope dict — same injectivity-and-NaN-guard contract as the
+# canonical_dumps memo (two different finite trees cannot print the
+# same bytes; key-order aliases just recompute; non-finite trees skip).
+# Only SUCCESSFUL computations are stored, so the type-error raises of
+# _get_string replay identically on every call.
+_KEY_MEMO_MAX = 1 << 14
+_res_key_memo: dict[bytes, tuple] = {}
+_scope_key_memo: dict[bytes, tuple] = {}
+
+
+def _resource_key_compute(resource: dict) -> tuple:
     attributes = resource.get("attributes")
     if attributes is None:
         attributes = {}
     schema_url = _get_string(resource, "schemaUrl", "resource")
-    return {
-        "res_attributes": canonical_dumps(attributes),
-        "res_schema_url": schema_url,
-    }
+    return (canonical_dumps(attributes), schema_url)
 
 
-def _scope_key(scope: dict) -> dict:
-    """GetOrCreateScope natural key (database/shared.go:70-120)."""
+def _resource_key_t(resource: dict) -> tuple:
+    """GetOrCreateResource natural key (database/shared.go:25-67) as a
+    (res_attributes, res_schema_url) tuple (RESOURCE_KEY_FIELDS order)."""
+    if _orjson is not None:
+        try:
+            mk = _orjson.dumps(resource)
+        except Exception:
+            mk = None
+        if mk is not None and (b"null" not in mk or _memo_safe(resource)):
+            hit = _res_key_memo.get(mk)
+            if hit is not None:
+                return hit
+            val = _resource_key_compute(resource)
+            if len(_res_key_memo) >= _KEY_MEMO_MAX:
+                _res_key_memo.clear()
+            _res_key_memo[mk] = val
+            return val
+    return _resource_key_compute(resource)
+
+
+def _scope_key_compute(scope: dict) -> tuple:
     attributes = scope.get("attributes")
     if attributes is None:
         attributes = {}
-    return {
-        "scope_name": _get_string(scope, "name", "scope"),
-        "scope_version": _get_string(scope, "version", "scope"),
-        "scope_attributes": canonical_dumps(attributes),
-        "scope_schema_url": _get_string(scope, "schemaUrl", "scope"),
-    }
+    return (
+        _get_string(scope, "name", "scope"),
+        _get_string(scope, "version", "scope"),
+        canonical_dumps(attributes),
+        _get_string(scope, "schemaUrl", "scope"),
+    )
+
+
+def _scope_key_t(scope: dict) -> tuple:
+    """GetOrCreateScope natural key (database/shared.go:70-120) as a
+    (name, version, attributes, schema_url) tuple (SCOPE_KEY_FIELDS
+    order)."""
+    if _orjson is not None:
+        try:
+            mk = _orjson.dumps(scope)
+        except Exception:
+            mk = None
+        if mk is not None and (b"null" not in mk or _memo_safe(scope)):
+            hit = _scope_key_memo.get(mk)
+            if hit is not None:
+                return hit
+            val = _scope_key_compute(scope)
+            if len(_scope_key_memo) >= _KEY_MEMO_MAX:
+                _scope_key_memo.clear()
+            _scope_key_memo[mk] = val
+            return val
+    return _scope_key_compute(scope)
 
 
 _DEFAULT_SCOPE = {"name": "", "version": "", "attributes": [], "schemaUrl": ""}
+_DEFAULT_SCOPE_KEY = ("", "", "[]", "")
 
 
 def _opt_time(rec: dict, key: str) -> int:
     """Timestamp fields: only parsed when present as a non-empty string;
     any other shape silently yields 0 (traces.go:113-129 type-asserts
-    string first)."""
+    string first). The ASCII-digit fast path of _parse_time_nano is
+    inlined — this is the hottest helper in the kernel (JSON decode
+    yields exact ``str``, so the ``type`` check is safe)."""
     v = rec.get(key)
-    if isinstance(v, str) and v != "":
+    if type(v) is str and v:
+        if v.isascii() and v.isdigit():
+            n = int(v)
+            if n < _INT64_MAX:
+                return n
+            raise _TurnError(f"failed to parse timestamp '{v}': out of range")
         return _parse_time_nano(v)
     return 0
 
 
 def _num_or_zero(rec: dict, key: str) -> int:
     v = rec.get(key)
-    if not _is_num(v):
-        return 0
-    if isinstance(v, int) and not -(2**53) <= v <= 2**53:
+    t = type(v)
+    if t is int:
+        if -(2**53) <= v <= 2**53:
+            return v
         # orjson decode keeps big ints exact; Go decoded float64 — apply
         # the same precision round before the int64 narrowing.
-        v = float(v)
-    return int(v)
+        return int(float(v))
+    if t is float:
+        return int(v)
+    return 0
 
 
 def _str_or_empty(rec: dict, key: str) -> str:
     v = rec.get(key)
-    return v if isinstance(v, str) else ""
+    return v if type(v) is str else ""
 
 
 def _strict_str(rec: dict, key: str) -> str:
@@ -248,17 +341,21 @@ def _strict_str(rec: dict, key: str) -> str:
     v = rec.get(key)
     if v is None:
         return ""
-    if isinstance(v, str):
+    if type(v) is str:
         return v
     raise _TurnError(f"invalid type for {key}: expected string")
 
 
 # ---------------------------------------------------------------------------
 # Per-signal extraction (the nested-loop flattens, SURVEY §2.3 P2-P7).
+# Tuple-emitting: each extractor appends (payload tuple, input-row index)
+# pairs straight into the caller's batch-level accumulator lists.
 # ---------------------------------------------------------------------------
 
 
-def _extract_trace(data: dict, out: dict) -> None:
+def _extract_trace_t(data: dict, i: int, res: list, res_i: list,
+                     sco: list, sco_i: list, spans: list,
+                     spans_i: list) -> None:
     """database/traces.go:17-171 (lenient shapes, hard record errors)."""
     resource_spans = data.get("resourceSpans")
     if not isinstance(resource_spans, list):
@@ -270,8 +367,9 @@ def _extract_trace(data: dict, out: dict) -> None:
         resource = rs.get("resource")
         if not isinstance(resource, dict):
             continue  # skip resourceSpan without resource (traces.go:30-33)
-        res_key = _resource_key(resource)
-        out["resources"].append(res_key)  # touched before scopeSpans check
+        res_key = _resource_key_t(resource)
+        res.append(res_key)  # touched before scopeSpans check
+        res_i.append(i)
         scope_spans = rs.get("scopeSpans")
         if not isinstance(scope_spans, list):
             continue
@@ -279,23 +377,27 @@ def _extract_trace(data: dict, out: dict) -> None:
             if not isinstance(ss, dict):
                 continue
             scope = ss.get("scope")
-            if not isinstance(scope, dict):
-                scope = _DEFAULT_SCOPE  # traces.go:52-61 default empty scope
-            scope_key = _scope_key(scope)
-            out["scopes"].append(scope_key)
-            spans = ss.get("spans")
-            if not isinstance(spans, list):
+            if isinstance(scope, dict):
+                scope_key = _scope_key_t(scope)
+            else:
+                scope_key = _DEFAULT_SCOPE_KEY  # traces.go:52-61 default
+            sco.append(scope_key)
+            sco_i.append(i)
+            sp = ss.get("spans")
+            if not isinstance(sp, list):
                 continue
-            for s in spans:
+            for s in sp:
                 if not isinstance(s, dict):
                     continue
-                out["spans"].append(_extract_span(s, res_key, scope_key, seen_pk))
+                spans.append(_extract_span_t(s, res_key, scope_key, seen_pk))
+                spans_i.append(i)
 
 
-def _extract_span(
-    span: dict, res_key: dict, scope_key: dict, seen_pk: set
-) -> dict:
-    """InsertSpan projection (database/traces.go:90-171)."""
+def _extract_span_t(
+    span: dict, res_key: tuple, scope_key: tuple, seen_pk: set
+) -> tuple:
+    """InsertSpan projection (database/traces.go:90-171), SPAN_FIELDS
+    order."""
     trace_id = span.get("traceId")
     if not isinstance(trace_id, str) or trace_id == "":
         raise _TurnError("invalid span: traceId is required")
@@ -311,27 +413,30 @@ def _extract_span(
     status = span.get("status")
     if not isinstance(status, dict):
         status = {}
-    return {
-        "trace_id": trace_id,
-        "span_id": span_id,
-        "trace_state": _str_or_empty(span, "traceState"),
-        "parent_span_id": _str_or_empty(span, "parentSpanId"),
-        "name": _str_or_empty(span, "name"),
-        "kind": _num_or_zero(span, "kind"),
-        "start_time_unix_nano": _opt_time(span, "startTimeUnixNano"),
-        "end_time_unix_nano": _opt_time(span, "endTimeUnixNano"),
+    return (
+        trace_id,
+        span_id,
+        _str_or_empty(span, "traceState"),
+        _str_or_empty(span, "parentSpanId"),
+        _str_or_empty(span, "name"),
+        _num_or_zero(span, "kind"),
+        _opt_time(span, "startTimeUnixNano"),
+        _opt_time(span, "endTimeUnixNano"),
         # Marshal(nil) == "null" for missing fields (traces.go:130-146).
-        "attributes": canonical_dumps(span.get("attributes")),
-        "events": canonical_dumps(span.get("events")),
-        "links": canonical_dumps(span.get("links")),
-        "status_code": _num_or_zero(status, "code"),
-        "status_message": _str_or_empty(status, "message"),
-        **res_key,
-        **scope_key,
-    }
+        canonical_dumps(span.get("attributes")),
+        canonical_dumps(span.get("events")),
+        canonical_dumps(span.get("links")),
+        _num_or_zero(status, "code"),
+        _str_or_empty(status, "message"),
+    ) + res_key + scope_key
 
 
-def _extract_log(data: dict, out: dict) -> None:
+_NULL_RES_KEY = (None, None)
+
+
+def _extract_log_t(data: dict, i: int, res: list, res_i: list,
+                   sco: list, sco_i: list, logs: list,
+                   logs_i: list) -> None:
     """database/logs.go:17-187 (strict: shape errors abort the turn)."""
     resource_logs = data.get("resourceLogs")
     if not isinstance(resource_logs, list):
@@ -341,11 +446,12 @@ def _extract_log(data: dict, out: dict) -> None:
             raise _TurnError("invalid resourceLog type")
         resource = rl.get("resource")
         if isinstance(resource, dict):
-            res_key = _resource_key(resource)
-            out["resources"].append(res_key)
+            res_key = _resource_key_t(resource)
+            res.append(res_key)
+            res_i.append(i)
         else:
             # resource_id stays 0; no dimension row (logs.go:29-35).
-            res_key = {"res_attributes": None, "res_schema_url": None}
+            res_key = _NULL_RES_KEY
         scope_logs = rl.get("scopeLogs")
         if not isinstance(scope_logs, list):
             raise _TurnError("invalid scopeLogs type in resourceLog")
@@ -353,44 +459,49 @@ def _extract_log(data: dict, out: dict) -> None:
             if not isinstance(sl, dict):
                 raise _TurnError("invalid scopeLog type")
             scope = sl.get("scope")
-            if not isinstance(scope, dict):
-                scope = _DEFAULT_SCOPE
-            scope_key = _scope_key(scope)
-            out["scopes"].append(scope_key)
+            if isinstance(scope, dict):
+                scope_key = _scope_key_t(scope)
+            else:
+                scope_key = _DEFAULT_SCOPE_KEY
+            sco.append(scope_key)
+            sco_i.append(i)
             log_records = sl.get("logRecords")
             if not isinstance(log_records, list):
                 raise _TurnError("invalid logRecords type in scopeLog")
             for lr in log_records:
                 if not isinstance(lr, dict):
                     raise _TurnError("invalid logRecord type")
-                out["logs"].append(_extract_log_record(lr, res_key, scope_key))
+                logs.append(_extract_log_record_t(lr, res_key, scope_key))
+                logs_i.append(i)
 
 
-def _extract_log_record(lr: dict, res_key: dict, scope_key: dict) -> dict:
-    """InsertLogRecord projection (database/logs.go:88-187)."""
+def _extract_log_record_t(lr: dict, res_key: tuple, scope_key: tuple) -> tuple:
+    """InsertLogRecord projection (database/logs.go:88-187), LOG_FIELDS
+    order."""
     body = lr.get("body")
     attributes = lr.get("attributes")
-    return {
-        "time_unix_nano": _opt_time(lr, "timeUnixNano"),
-        "observed_time_unix_nano": _opt_time(lr, "observedTimeUnixNano"),
-        "severity_number": _num_or_zero(lr, "severityNumber"),
-        "severity_text": _strict_str(lr, "severityText"),
+    return (
+        _opt_time(lr, "timeUnixNano"),
+        _opt_time(lr, "observedTimeUnixNano"),
+        _num_or_zero(lr, "severityNumber"),
+        _strict_str(lr, "severityText"),
         # body default '{}' (logs.go:132-135), attributes default '[]'
         # (logs.go:145-148) — unlike spans' Marshal(nil)=="null".
-        "body": canonical_dumps(body) if body is not None else "{}",
-        "attributes": canonical_dumps(attributes) if attributes is not None else "[]",
-        "trace_id": _strict_str(lr, "traceId"),
-        "span_id": _strict_str(lr, "spanId"),
-        "flags": _num_or_zero(lr, "flags"),
-        **res_key,
-        **scope_key,
-    }
+        canonical_dumps(body) if body is not None else "{}",
+        canonical_dumps(attributes) if attributes is not None else "[]",
+        _strict_str(lr, "traceId"),
+        _strict_str(lr, "spanId"),
+        _num_or_zero(lr, "flags"),
+    ) + res_key + scope_key
 
 
 _METRIC_TYPES = ("gauge", "sum", "histogram", "exponentialHistogram", "summary")
 
 
-def _extract_metric_signal(data: dict, out: dict) -> None:
+def _extract_metric_signal_t(data: dict, i: int, res: list, res_i: list,
+                             sco: list, sco_i: list, defs: list,
+                             defs_i: list, points: list,
+                             points_i: list) -> None:
     """database/metrics.go:22-269."""
     resource_metrics = data.get("resourceMetrics")
     if not isinstance(resource_metrics, list):
@@ -403,8 +514,9 @@ def _extract_metric_signal(data: dict, out: dict) -> None:
         if not isinstance(resource, dict):
             # Unlike traces, metrics REQUIRE the resource (metrics.go:34-37).
             raise _TurnError("invalid resourceMetric: missing resource field")
-        res_key = _resource_key(resource)
-        out["resources"].append(res_key)
+        res_key = _resource_key_t(resource)
+        res.append(res_key)
+        res_i.append(i)
         scope_metrics = rm.get("scopeMetrics")
         if not isinstance(scope_metrics, list):
             continue
@@ -412,21 +524,25 @@ def _extract_metric_signal(data: dict, out: dict) -> None:
             if not isinstance(sm, dict):
                 continue
             scope = sm.get("scope")
-            if not isinstance(scope, dict):
-                scope = _DEFAULT_SCOPE
-            scope_key = _scope_key(scope)
-            out["scopes"].append(scope_key)
+            if isinstance(scope, dict):
+                scope_key = _scope_key_t(scope)
+            else:
+                scope_key = _DEFAULT_SCOPE_KEY
+            sco.append(scope_key)
+            sco_i.append(i)
             metrics = sm.get("metrics")
             if not isinstance(metrics, list):
                 continue
             for m in metrics:
                 if not isinstance(m, dict):
                     continue
-                pos = _extract_metric(m, res_key, scope_key, out, pos)
+                pos = _extract_metric_t(m, i, res_key, scope_key, defs,
+                                        defs_i, points, points_i, pos)
 
 
-def _extract_metric(
-    metric: dict, res_key: dict, scope_key: dict, out: dict, pos: int
+def _extract_metric_t(
+    metric: dict, i: int, res_key: tuple, scope_key: tuple, defs: list,
+    defs_i: list, points: list, points_i: list, pos: int
 ) -> int:
     """InsertMetric (database/metrics.go:95-138): register the definition
     (even with zero data points), discriminate the type (R2), then emit
@@ -441,17 +557,16 @@ def _extract_metric(
             break
     if metric_type is None:
         raise _TurnError(f"unknown metric type for metric: {name}")
-    out["metric_defs"].append(
-        {
-            "pos": pos,
-            "name": name,
-            "description": _str_or_empty(metric, "description"),
-            "unit": _str_or_empty(metric, "unit"),
-            "metric_type": metric_type,
-            **res_key,
-            **scope_key,
-        }
+    defs.append(
+        (
+            pos,
+            name,
+            _str_or_empty(metric, "description"),
+            _str_or_empty(metric, "unit"),
+            metric_type,
+        ) + res_key + scope_key
     )
+    defs_i.append(i)
     pos += 1
     data = metric.get(metric_type)
     if isinstance(data, dict):
@@ -459,16 +574,19 @@ def _extract_metric(
         if isinstance(data_points, list):
             for dp in data_points:
                 if isinstance(dp, dict):
-                    out["points"].append(
-                        _extract_point(dp, name, metric_type, res_key, scope_key)
+                    points.append(
+                        _extract_point_t(dp, name, metric_type, res_key,
+                                         scope_key)
                     )
+                    points_i.append(i)
     return pos
 
 
-def _extract_point(
-    dp: dict, name: str, metric_type: str, res_key: dict, scope_key: dict
-) -> dict:
-    """InsertMetricDataPoint (database/metrics.go:141-269)."""
+def _extract_point_t(
+    dp: dict, name: str, metric_type: str, res_key: tuple, scope_key: tuple
+) -> tuple:
+    """InsertMetricDataPoint (database/metrics.go:141-269), POINT_FIELDS
+    order."""
     attributes = dp.get("attributes")
     attributes_json = canonical_dumps(attributes)  # nil -> "null"
 
@@ -487,7 +605,7 @@ def _extract_point(
             if v != s or not digits.isascii() or not digits.isdigit() or not digits:
                 raise _TurnError(f"failed to parse asInt value '{v}'")
             value_int = int(v)
-            if not -(2**63) <= value_int < 2**63:
+            if not -_INT64_MAX <= value_int < _INT64_MAX:
                 raise _TurnError(f"failed to parse asInt value '{v}': range")
 
     # Complex-type payload fold (R3, metrics.go:194-256): selected fields
@@ -532,40 +650,174 @@ def _extract_point(
             merged["_metricData"] = complex_data
             attributes_json = canonical_dumps(merged)
 
-    return {
-        "metric_name": name,
-        "metric_type": metric_type,
-        "attributes": attributes_json,
-        "start_time_unix_nano": _opt_time(dp, "startTimeUnixNano"),
-        "time_unix_nano": _opt_time(dp, "timeUnixNano"),
-        "value_double": value_double,
-        "value_int": value_int,
-        "exemplars": canonical_dumps(dp.get("exemplars")),
-        "flags": _num_or_zero(dp, "flags"),
-        **res_key,
-        **scope_key,
-    }
+    return (
+        name,
+        metric_type,
+        attributes_json,
+        _opt_time(dp, "startTimeUnixNano"),
+        _opt_time(dp, "timeUnixNano"),
+        value_double,
+        value_int,
+        canonical_dumps(dp.get("exemplars")),
+        _num_or_zero(dp, "flags"),
+    ) + res_key + scope_key
 
 
 # ---------------------------------------------------------------------------
-# Entry point.
+# Entry points.
 # ---------------------------------------------------------------------------
 
-_EMPTY: dict[str, list] = {
-    "resources": [],
-    "scopes": [],
-    "metric_defs": [],
-    "spans": [],
-    "logs": [],
-    "points": [],
+# kind -> plural key in the PARSED_SCHEMA dict view
+KIND_PLURALS = {
+    "resource": "resources",
+    "scope": "scopes",
+    "metric_def": "metric_defs",
+    "span": "spans",
+    "log": "logs",
+    "point": "points",
+}
+
+_EMPTY: dict[str, list] = {p: [] for p in KIND_PLURALS.values()}
+
+
+def new_accumulator() -> dict[str, tuple[list, list]]:
+    """Fresh batch-level accumulator for ``parse_turn_into``:
+    kind -> (payload-tuple list, input-row-index list)."""
+    return {k: ([], []) for k in KIND_PLURALS}
+
+
+def parse_turn_into(text: str | None, max_bytes: int, n_bytes: int | None,
+                    i: int, acc: dict,
+                    seen: tuple[set, set] | None = None
+                    ) -> tuple[str | None, str | None]:
+    """Parse one transcript turn exactly as the reference processes one
+    HTTP request body, appending (tuple, index) records into ``acc``
+    (see ``new_accumulator``). Returns (signal_type, error); on any
+    error NOTHING is appended (transaction rollback — partial appends
+    are truncated away).
+
+    ``n_bytes``: pre-computed UTF-8 byte length of ``text`` (the Spark
+    kernel passes ``octet_length(text)`` from the JVM projection so the
+    size guard costs a comparison, not an encode). ``None`` keeps the
+    encode. Equivalence note (ADVICE r3): JVM ``octet_length`` and
+    Python's ``surrogatepass`` UTF-8 length coincide for all
+    surrogate-free strings; parquet/Arrow string columns cannot carry
+    lone surrogates, so the two byte-length definitions provably agree
+    on the pipeline path.
+
+    ``seen`` = (seen_resource_keys, seen_scope_keys): OPTIONAL batch-
+    level dedup of resource/scope dimension-touch rows for LOG and
+    METRIC turns (round 6 — touch rows were ~25% of the record stream
+    while deduping to a handful of dim rows). Sound because (a) every
+    touch consumer runs dropDuplicates over the natural key, so only
+    the distinct key set per valid-turn-set matters, and (b) the span-
+    PK conflict cascade can only ever invalidate SPAN-CARRYING (trace)
+    turns, so log/metric turns — the only ones deduped, against each
+    other only — are always valid and any one emitter per key suffices.
+    Trace-turn touches keep per-turn attribution (an invalidated trace
+    turn's touches must vanish with it). Assumes (conv_id, turn_idx)
+    uniquely identifies a turn (the pipeline's core ordering
+    invariant). Suppression makes the raw STREAM batch-boundary-
+    dependent; every sink/aggregate remains partitioning-invariant
+    (tests/test_parallelism_invariance.py)."""
+    if text is None:
+        return None, REJECT_EMPTY
+    s = text.lstrip()
+    if not s:  # whitespace-only == strip()=="" (same whitespace set)
+        return None, REJECT_EMPTY
+    if n_bytes is None:
+        n_bytes = len(text.encode("utf-8", errors="surrogatepass"))
+    if n_bytes > max_bytes:
+        return None, REJECT_OVERSIZE
+    if s[0] != "{":
+        return None, REJECT_NOT_JSON
+    try:
+        data = _loads_stripped(s)
+    except Exception:
+        return None, REJECT_INVALID_JSON
+    if not isinstance(data, dict):  # unreachable given the '{' check
+        return None, REJECT_NOT_JSON
+
+    res, res_i = acc["resource"]
+    sco, sco_i = acc["scope"]
+    if "resourceSpans" in data:
+        spans, spans_i = acc["span"]
+        n0, n1, n2 = len(res), len(sco), len(spans)
+        try:
+            _extract_trace_t(data, i, res, res_i, sco, sco_i, spans, spans_i)
+        except _TurnError as e:
+            del res[n0:], res_i[n0:], sco[n1:], sco_i[n1:]
+            del spans[n2:], spans_i[n2:]
+            return "trace", str(e)
+        return "trace", None
+    if "resourceLogs" in data:
+        logs, logs_i = acc["log"]
+        n0, n1, n2 = len(res), len(sco), len(logs)
+        try:
+            _extract_log_t(data, i, res, res_i, sco, sco_i, logs, logs_i)
+        except _TurnError as e:
+            del res[n0:], res_i[n0:], sco[n1:], sco_i[n1:]
+            del logs[n2:], logs_i[n2:]
+            return "log", str(e)
+        if seen is not None:
+            _dedup_touches(res, res_i, n0, i, seen[0])
+            _dedup_touches(sco, sco_i, n1, i, seen[1])
+        return "log", None
+    if "resourceMetrics" in data:
+        defs, defs_i = acc["metric_def"]
+        points, points_i = acc["point"]
+        n0, n1, n2, n3 = len(res), len(sco), len(defs), len(points)
+        try:
+            _extract_metric_signal_t(data, i, res, res_i, sco, sco_i,
+                                     defs, defs_i, points, points_i)
+        except _TurnError as e:
+            del res[n0:], res_i[n0:], sco[n1:], sco_i[n1:]
+            del defs[n2:], defs_i[n2:], points[n3:], points_i[n3:]
+            return "metric", str(e)
+        if seen is not None:
+            _dedup_touches(res, res_i, n0, i, seen[0])
+            _dedup_touches(sco, sco_i, n1, i, seen[1])
+        return "metric", None
+    return None, REJECT_UNKNOWN_SIGNAL
+
+
+def _dedup_touches(rows: list, idxs: list, n0: int, i: int,
+                   seen: set) -> None:
+    """Compact a committed turn's dimension-touch appends (rows[n0:])
+    against the batch-level ``seen`` key set — runs only AFTER the turn
+    succeeded, so rollback never has to undo ``seen`` entries."""
+    if len(rows) > n0:
+        kept = [k for k in rows[n0:]
+                if k not in seen and not seen.add(k)]
+        del rows[n0:], idxs[n0:]
+        if kept:
+            rows.extend(kept)
+            idxs.extend([i] * len(kept))
+
+
+_KIND_FIELD_NAMES = {
+    "resource": [n for n, _ in RESOURCE_KEY_FIELDS],
+    "scope": [n for n, _ in SCOPE_KEY_FIELDS],
+    "metric_def": [n for n, _ in METRIC_DEF_FIELDS],
+    "span": [n for n, _ in SPAN_FIELDS],
+    "log": [n for n, _ in LOG_FIELDS],
+    "point": [n for n, _ in POINT_FIELDS],
 }
 
 
-def _result(signal_type: str | None, error: str | None, out: dict | None = None) -> dict:
-    rec = dict(out) if out is not None else {k: [] for k in _EMPTY}
-    rec["signal_type"] = signal_type
-    rec["error"] = error
-    return rec
+def parse_turn(text: str | None, max_bytes: int = 10 * 1024 * 1024,
+               n_bytes: int | None = None) -> dict:
+    """Dict-shaped view over ``parse_turn_into`` (the PARSED_SCHEMA
+    contract used by tests, the checkpoint replay and direct callers):
+    on any error the record arrays are EMPTY (transaction rollback) and
+    ``error`` carries the reject reason."""
+    acc = new_accumulator()
+    signal_type, error = parse_turn_into(text, max_bytes, n_bytes, 0, acc)
+    out: dict = {"signal_type": signal_type, "error": error}
+    for kind, plural in KIND_PLURALS.items():
+        names = _KIND_FIELD_NAMES[kind]
+        out[plural] = [dict(zip(names, t)) for t in acc[kind][0]]
+    return out
 
 
 def extract_span_keys(text: str | None, max_bytes: int = 10 * 1024 * 1024) -> list[dict]:
@@ -722,67 +974,7 @@ def turn_records(
             "text": text,
         }
     ]
-    for kind, plural in (
-        ("resource", "resources"),
-        ("scope", "scopes"),
-        ("metric_def", "metric_defs"),
-        ("span", "spans"),
-        ("log", "logs"),
-        ("point", "points"),
-    ):
+    for kind, plural in KIND_PLURALS.items():
         for r in p[plural]:
             recs.append({**lineage, "rec_kind": kind, **r})
     return recs
-
-
-def parse_turn(text: str | None, max_bytes: int = 10 * 1024 * 1024,
-               n_bytes: int | None = None) -> dict:
-    """Parse one transcript turn exactly as the reference processes one
-    HTTP request body. Returns the PARSED_SCHEMA dict; on any error the
-    record arrays are EMPTY (transaction rollback semantics) and
-    ``error`` carries the reject reason.
-
-    ``n_bytes``: pre-computed UTF-8 byte length of ``text``. The Spark
-    kernel passes ``octet_length(text)`` from the JVM projection
-    (round-3 prefilter; VERDICT r2 next #8) so the size guard costs a
-    comparison instead of a full encode+copy of every turn — at 3M
-    turns the per-row ``str.encode`` was ~2.7 GB of throwaway
-    allocation. ``None`` (direct callers, oracle) keeps the encode.
-
-    Equivalence assumption (ADVICE r3): JVM ``octet_length`` and
-    Python's ``surrogatepass`` UTF-8 length coincide for all
-    surrogate-free strings; parquet/Arrow string columns cannot carry
-    lone surrogates, so the two byte-length definitions provably agree
-    on the pipeline path. Only a direct Python caller handing in a str
-    WITH lone surrogates near the 10 MB limit could classify
-    differently from the Spark kernel."""
-    if text is None or text.strip() == "":
-        return _result(None, REJECT_EMPTY)
-    if n_bytes is None:
-        n_bytes = len(text.encode("utf-8", errors="surrogatepass"))
-    if n_bytes > max_bytes:
-        return _result(None, REJECT_OVERSIZE)
-    if not text.lstrip().startswith("{"):
-        return _result(None, REJECT_NOT_JSON)
-    try:
-        data = go_loads(text)
-    except Exception:
-        return _result(None, REJECT_INVALID_JSON)
-    if not isinstance(data, dict):  # unreachable given the '{' check
-        return _result(None, REJECT_NOT_JSON)
-
-    if "resourceSpans" in data:
-        signal, extractor = "trace", _extract_trace
-    elif "resourceLogs" in data:
-        signal, extractor = "log", _extract_log
-    elif "resourceMetrics" in data:
-        signal, extractor = "metric", _extract_metric_signal
-    else:
-        return _result(None, REJECT_UNKNOWN_SIGNAL)
-
-    out = {k: [] for k in _EMPTY}
-    try:
-        extractor(data, out)
-    except _TurnError as e:
-        return _result(signal, str(e))
-    return _result(signal, None, out)

@@ -51,7 +51,8 @@ from sqlite_otel_spark.functions.parse import (
     RESOURCE_KEY_FIELDS,
     SCOPE_KEY_FIELDS,
     SPAN_FIELDS,
-    parse_turn,
+    new_accumulator,
+    parse_turn_into,
 )
 
 _INPUT_COLS = ("conv_id", "turn_idx", "role", "tool", "ts_us", "text", "nb")
@@ -106,6 +107,65 @@ def _batch(kind: str, n: int, cols: dict, schema: pa.Schema) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
+def make_kernel(out_schema: pa.Schema, max_text_bytes: int,
+                emit_text: bool):
+    """Build the ``mapInArrow`` kernel (batches -> RecordBatches). A
+    module-level factory so scripts/profile_parse.py profiles the REAL
+    hot loop instead of a hand-kept copy (ADVICE r5 #2).
+
+    Lineage columns (conv_id/turn_idx/role/tool/ts_us) never pass
+    through Python (round 5, profiler-driven): turn rows are 1:1 with
+    input rows, so their lineage AND text/nb columns are the input
+    arrays themselves (zero copy); record rows carry one input-row
+    INDEX each and their lineage comes from one C-side ``take`` per
+    column. Round 6: extractors append per-record TUPLES straight into
+    batch-level accumulators (parse_turn_into) and the per-kind columns
+    are one C-speed ``zip(*rows)`` transpose — no per-turn dicts, no
+    per-field Python append loop."""
+
+    def gen(batches):
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            names = rb.schema.names
+            col = {c: rb.column(names.index(c)) for c in _INPUT_COLS}
+            texts = col["text"].to_pylist()
+            nbs = col["nb"].to_pylist()
+            sig: list = []
+            err: list = []
+            sig_append, err_append = sig.append, err.append
+            acc = new_accumulator()
+            # batch-level touch dedup for log/metric turns (see
+            # parse_turn_into docstring: sinks are invariant, the
+            # stream sheds ~25% of its rows)
+            seen = (set(), set())
+            for i, (text, nb) in enumerate(zip(texts, nbs)):
+                s, e = parse_turn_into(text, max_text_bytes, nb, i, acc,
+                                       seen)
+                sig_append(s)
+                err_append(e)
+            turn_cols = {
+                **{c: col[c] for c in _LINEAGE},
+                "signal_type": sig,
+                "error": err,
+            }
+            if emit_text:
+                turn_cols["text"] = col["text"]
+            else:
+                turn_cols["n_bytes"] = col["nb"]
+            yield _batch("turn", rb.num_rows, turn_cols, out_schema)
+            for kind, (_, fields) in _KIND_FIELDS.items():
+                rows, ix = acc[kind]
+                if not rows:
+                    continue
+                ixa = pa.array(ix, type=pa.int64())
+                cols = {c: pc.take(col[c], ixa) for c in _LINEAGE}
+                cols.update(zip(fields, zip(*rows)))
+                yield _batch(kind, len(rows), cols, out_schema)
+
+    return gen
+
+
 def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
                emit_text: bool = True) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> records
@@ -118,61 +178,7 @@ def to_records(df: DataFrame, max_text_bytes: int = 10 * 1024 * 1024,
     n_bytes is computed in Python before the drop."""
 
     out_schema = _pa_schema(extra_n_bytes=not emit_text)
-
-    def gen(batches):
-        # Lineage columns (conv_id/turn_idx/role/tool/ts_us) never pass
-        # through Python (round-5, profiler-driven: the per-record
-        # lineage appends + to_pylist were ~30% of kernel wall): turn
-        # rows are 1:1 with input rows, so their lineage AND text/nb
-        # columns are the input arrays themselves (zero copy); record
-        # rows carry one input-row INDEX each and their lineage comes
-        # from one C-side ``take`` per column. Only the parse payload
-        # fields cross the Python boundary.
-        import pyarrow.compute as pc
-
-        for rb in batches:
-            names = rb.schema.names
-            col = {c: rb.column(names.index(c)) for c in _INPUT_COLS}
-            texts = col["text"].to_pylist()
-            nbs = col["nb"].to_pylist()
-            sig: list = []
-            err: list = []
-            idx: dict[str, list[int]] = {k: [] for k in _KIND_FIELDS}
-            kacc: dict[str, dict[str, list]] = {
-                k: {c: [] for c in fields}
-                for k, (_, fields) in _KIND_FIELDS.items()
-            }
-            for i, (text, nb) in enumerate(zip(texts, nbs)):
-                p = parse_turn(text, max_text_bytes, n_bytes=nb)
-                sig.append(p["signal_type"])
-                err.append(p["error"])
-                for kind, (plural, fields) in _KIND_FIELDS.items():
-                    recs = p[plural]
-                    if not recs:
-                        continue
-                    a = kacc[kind]
-                    ix = idx[kind]
-                    for r in recs:
-                        ix.append(i)
-                        for c in fields:
-                            a[c].append(r[c])
-            turn_cols = {
-                **{c: col[c] for c in _LINEAGE},
-                "signal_type": sig,
-                "error": err,
-            }
-            if emit_text:
-                turn_cols["text"] = col["text"]
-            else:
-                turn_cols["n_bytes"] = col["nb"]
-            yield _batch("turn", rb.num_rows, turn_cols, out_schema)
-            for kind, ix in idx.items():
-                if not ix:
-                    continue
-                ixa = pa.array(ix, type=pa.int64())
-                cols = {c: pc.take(col[c], ixa) for c in _LINEAGE}
-                cols.update(kacc[kind])
-                yield _batch(kind, len(ix), cols, out_schema)
+    gen = make_kernel(out_schema, max_text_bytes, emit_text)
 
     from pyspark.sql import functions as F
 
