@@ -127,14 +127,26 @@ def build_metric_defs(
             "conv_id", "turn_idx", *METRIC_DEF_SRC
         )
         defs = attach_dim_ids(defs, resources, scopes, mode)
-    w = (
-        Window.partitionBy("name", "metric_type", "resource_id", "scope_id")
-        .orderBy("conv_id", "turn_idx", "pos")
-    )
+    # First-definition-wins as min_by over the canonical arrival order
+    # (conv_id, turn_idx, pos) — a hash aggregate with MAP-SIDE PARTIALS
+    # instead of the previous row_number window (which shuffled every
+    # def row and sorted each partition; guide §2.3 "aggregate before
+    # you shuffle"). (conv_id, turn_idx, pos) is unique per def row, so
+    # min_by is tie-free and the result rows are identical.
     first = (
-        defs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("name", "description", "unit", "metric_type", "resource_id", "scope_id")
+        defs.groupBy("name", "metric_type", "resource_id", "scope_id")
+        .agg(
+            F.min_by(
+                F.struct("description", "unit"),
+                F.struct("conv_id", "turn_idx", "pos"),
+            ).alias("__first")
+        )
+        .select(
+            "name",
+            F.col("__first.description").alias("description"),
+            F.col("__first.unit").alias("unit"),
+            "metric_type", "resource_id", "scope_id",
+        )
     )
     if mode == "hash":
         id_col = metric_id_expr(

@@ -1240,12 +1240,20 @@ def dp_ngram_jaccard(spark, sf_dir):
     jaccard_pairs(candidates=None) for small-scale oracle checks (tests
     compare gated vs exact recall)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dd.shingles(docs, n=3)
-    cand = dd.minhash_lsh_candidates(
-        dd.minhash_signatures(sh, 32, hash_fn="md5"), bands=16, rows=2,
-        hash_fn="md5",
-    )
-    return dd.jaccard_pairs(sh, threshold=0.6, candidates=cand).orderBy("doc_a", "doc_b")
+    # ONE shingle materialization (round 6): the tokenize+shingle pass
+    # was recomputed by the signature agg, BOTH jaccard join sides and
+    # the sizes pass (AQE stage reuse cannot fire — each consumer
+    # pushes different isnotnull filters into its copy of the subtree).
+    # localCheckpoint materializes it once per invocation (guide §3.3:
+    # materialize an intermediate to truncate/share the plan); sizes
+    # ride the signature aggregation (with_sizes), removing the last
+    # full pass. Measured sf0.1: 3.58 -> 2.09 s.
+    sh = dd.shingles(docs, n=3).localCheckpoint(eager=False)
+    sig = dd.minhash_signatures(sh, 32, hash_fn="md5", with_sizes=True)
+    cand = dd.minhash_lsh_candidates(sig, bands=16, rows=2, hash_fn="md5")
+    return dd.jaccard_pairs(
+        sh, threshold=0.6, candidates=cand, sizes=sig
+    ).orderBy("doc_a", "doc_b")
 
 
 @q("dp_minhash_lsh", _minhash_lsh_sql())
@@ -1255,12 +1263,14 @@ def dp_minhash_lsh(spark, sf_dir):
     reproduced by the DuckDB oracle (pytest additionally checks recall
     of the xxhash64 scale variant)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dd.shingles(docs, n=3)
-    cand = dd.minhash_lsh_candidates(
-        dd.minhash_signatures(sh, 64, hash_fn="md5"), bands=16, rows=4,
-        hash_fn="md5",
-    )
-    return dd.jaccard_pairs(sh, threshold=0.6, candidates=cand).orderBy("doc_a", "doc_b")
+    # shared shingle materialization + fused sizes — see
+    # dp_ngram_jaccard. Measured sf0.1: 4.26 -> 3.14 s.
+    sh = dd.shingles(docs, n=3).localCheckpoint(eager=False)
+    sig = dd.minhash_signatures(sh, 64, hash_fn="md5", with_sizes=True)
+    cand = dd.minhash_lsh_candidates(sig, bands=16, rows=4, hash_fn="md5")
+    return dd.jaccard_pairs(
+        sh, threshold=0.6, candidates=cand, sizes=sig
+    ).orderBy("doc_a", "doc_b")
 
 
 @q("dp_simhash_neardup", _simhash_sql())
@@ -1271,7 +1281,12 @@ def dp_simhash_neardup(spark, sf_dir):
     64-bit xxhash64 scale variant against an independent Python
     SimHash)."""
     docs = _t(spark, sf_dir, "documents")
-    fp = dd.simhash(docs, n_bits=60, hash_fn="md5")
+    # materialize the tiny fingerprint table once (round 6): the
+    # banding self-join's two sides each recomputed the full
+    # explode+hash+60-column bit-sum otherwise (pushed-down filters
+    # de-canonicalize the subtrees, so AQE stage reuse cannot fire).
+    # Measured sf0.1: 2.26 -> 1.94 s in a matched session.
+    fp = dd.simhash(docs, n_bits=60, hash_fn="md5").localCheckpoint(eager=False)
     return dd.simhash_near_dups(fp, max_hamming=3, n_bits=60).orderBy("doc_a", "doc_b")
 
 
