@@ -48,33 +48,78 @@ def resolve_span_conflicts(
     span_keys = records.filter(F.col("rec_kind") == "span").select(
         "conv_id", "turn_idx", "trace_id", "span_id"
     )
-    # Pass 1 — counts only: the adversarial-input guard fires BEFORE any
-    # per-key list materializes on an executor or any wide row reaches
-    # the driver (a hot key under collect_list would otherwise buffer its
-    # whole group first). This is a pure partial+final count agg.
-    dup_keys = (
+    # Pass 1 — duplicated keys via ONE partial+final count agg, fetched
+    # with a LIMIT of cap+1 rows: the adversarial-input guard fires
+    # BEFORE any per-key list materializes on an executor or any wide
+    # row reaches the driver (a hot key under collect_list would
+    # otherwise buffer its whole group first), and cap+1 bounds the
+    # collect no matter how many keys are duplicated. Round 6 (guide
+    # §2.4): the previous counts-only stats pass threw the dup-key rows
+    # away, so pass 2 RE-RAN the whole groupBy from the cache as its
+    # broadcast build side (~27 core-s + one extra job at 3M turns);
+    # collecting the (bounded) keys here lets pass 2 probe a local
+    # relation instead.
+    dup_q = (
         span_keys.groupBy("trace_id", "span_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
+        .limit(max_conflict_turns + 1)
     )
-    stats = dup_keys.agg(
-        F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("n_pairs")
-    ).collect()[0]
-    if not stats.n_keys:
+    # Single-shot take: the default executeTake starts at 1 partition
+    # and scales up 4x per wave, re-running the final agg as 3-4
+    # SEQUENTIAL jobs whose scheduling latency exceeds the saved work
+    # (measured 2.3 s -> 5.4 s at 3M turns). Covering every partition in
+    # wave 1 keeps this one job; the map-side agg ran once either way.
+    conf = spark.conf
+    key = "spark.sql.limit.initialNumPartitions"
+    prev = conf.get(key, None)
+    try:
+        conf.set(key, str(1 << 20))
+        dup_rows = dup_q.collect()
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
+    if not dup_rows:
         return None, 0
-    if stats.n_keys > max_conflict_turns or stats.n_pairs > max_conflict_turns:
+    n_pairs = sum(r.n for r in dup_rows)
+    if len(dup_rows) > max_conflict_turns or n_pairs > max_conflict_turns:
         raise ConflictOverflowError(
             f"more than {max_conflict_turns} span-PK-conflicting turn/key pairs; "
             "input looks adversarial (duplicate trace/span ids at scale)"
         )
     # Pass 2 — now provably bounded (n_pairs <= max_conflict_turns rows):
-    # semi-join the pruned projection against the duplicated keys and
-    # collect the flat (turn, key) pairs.
-    pair_rows = span_keys.join(
-        F.broadcast(dup_keys.select("trace_id", "span_id")),
-        ["trace_id", "span_id"],
-        "leftsemi",
-    ).collect()
+    # probe the pruned projection for the duplicated keys and collect
+    # the flat (turn, key) pairs. Small dup sets (the sane-input case)
+    # probe with an InSet FILTER pushed into the cache scan — measured
+    # 0.3-0.5 s vs 1.6-2.3 s for the broadcast-semi-join probe at 3M
+    # turns (no join, no broadcast build, batch-stat pruning intact).
+    # The concat key makes the filter a SUPERSET under pathological
+    # NUL-bearing ids, so the driver applies the exact set afterwards;
+    # big dup sets (only reachable just under the cap) fall back to the
+    # broadcast semi-join to keep literal lists out of the plan.
+    dup_set = {(r.trace_id, r.span_id) for r in dup_rows}
+    if len(dup_rows) <= 10_000:
+        sep = "\x00"
+        probe = span_keys.filter(
+            F.concat_ws(sep, "trace_id", "span_id").isin(
+                [f"{t}{sep}{s}" for t, s in dup_set]
+            )
+        )
+    else:
+        # coalesce(1): the local relation defaults to defaultParallelism
+        # near-empty partitions, and every broadcast build over it would
+        # schedule one task each.
+        dup_df = spark.createDataFrame(
+            sorted(dup_set), schema="trace_id string, span_id string"
+        ).coalesce(1)
+        probe = span_keys.join(
+            F.broadcast(dup_df), ["trace_id", "span_id"], "leftsemi"
+        )
+    pair_rows = [
+        r for r in probe.collect() if (r.trace_id, r.span_id) in dup_set
+    ]
 
     # Sequential replay in canonical arrival order.
     by_turn: dict[tuple, list[tuple]] = {}
@@ -92,7 +137,14 @@ def resolve_span_conflicts(
             committed.update(keys)
     if not invalid:
         return None, 0
-    invalid_df = spark.createDataFrame(invalid, schema="conv_id string, turn_idx int")
+    # coalesce(1): this tiny local relation is broadcast-built several
+    # times downstream (drop_conflicted anti-joins in independent jobs);
+    # at the default parallelism each build was a 32-task mini-job over
+    # near-empty partitions (~0.3 s of pure scheduling each, round-6
+    # stage profile).
+    invalid_df = spark.createDataFrame(
+        invalid, schema="conv_id string, turn_idx int"
+    ).coalesce(1)
     return invalid_df, len(invalid)
 
 
