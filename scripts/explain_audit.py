@@ -276,9 +276,10 @@ def main() -> None:
         "dp_repetition_signals", rep,
         want=["codegen id"],
         forbid=["BatchEvalPython", "ArrowEvalPython"],
-        max_exchanges=1,
+        max_exchanges=2,
         note="repetition signals are within-row array expressions — "
-             "shuffle-free per-doc quality stats",
+             "per-doc quality stats; the presentation orderBy plus the "
+             "conditional small-input spreader shuffle",
     )
 
     dec = QUERIES["dp_decontaminate"](spark, SF)

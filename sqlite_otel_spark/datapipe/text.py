@@ -382,14 +382,38 @@ def ngrams_col(tokens: Column, n: int) -> Column:
     )
 
 
+def _max_run_len(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == the max multiplicity of any element — one O(g) fold instead
+    of the O(distinct x g) transform+filter scan (round 6: that nested
+    form cost 31 s of noop wall at sf0.1 vs ~1 s for this; count() never
+    saw it because the column pruned away — guide §1.4)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
 def repetition_cols(tokens: Column) -> dict[str, Column]:
     """Token-repetition quality signals over a shared token array:
     duplicate-bigram fraction, top-bigram fraction (share of the single
-    most frequent bigram), duplicate-trigram fraction. O(g^2) nested
-    array filters per row — documents are bounded (the 10 MB cap
-    upstream), so this stays cheap and SHUFFLE-FREE at any corpus
-    size; repeated subtrees (the n-gram arrays) are shared by codegen
-    subexpression elimination, not recomputed per output column."""
+    most frequent bigram), duplicate-trigram fraction. Within-row array
+    expressions — documents are bounded (the 10 MB cap upstream), so
+    this stays cheap and SHUFFLE-FREE at any corpus size. The top-bigram
+    multiplicity is a run-length fold over the sorted bigram array
+    (O(g log g)); the old distinct x filter scan was O(g^2)-ish and
+    dominated the real (noop-sink) wall 30:1."""
     out: dict[str, Column] = {}
     for n, name in ((2, "bigram"), (3, "trigram")):
         g = ngrams_col(tokens, n)
@@ -400,12 +424,7 @@ def repetition_cols(tokens: Column) -> dict[str, Column]:
         )
         if n == 2:
             out["n_bigrams"] = cnt.cast("long")
-            top = F.array_max(
-                F.transform(
-                    F.array_distinct(g),
-                    lambda u: F.size(F.filter(g, lambda x: x == u)),
-                )
-            )
+            top = _max_run_len(F.array_sort(g))
             out["top_bigram_frac"] = (
                 F.when(cnt > 0, top / cnt).otherwise(F.lit(0.0))
                 .cast("double")
@@ -458,9 +477,20 @@ def contamination_flags(docs, n: int = 4, eval_mod: int = 7,
     (doc_id, n_matched, contaminated) for every train document,
     including clean ones (left join, zero-filled).
     """
+    # spread narrow inputs first (round 6): the gram explode + probe
+    # join of a one-split scan ran on ONE core (stage profile: a single
+    # 2.4 s task at sf0.1); no-op whenever the scan already parallelizes
+    docs = ensure_parallelism(docs)
     toks = tokens_col(F.col(text_col))
+    # within-row gram dedup BEFORE the explode (round 6, guide §2.3):
+    # each gram then appears once per document, so the per-doc match
+    # count is a plain count — the count_distinct Expand (which doubled
+    # the aggregation input) disappears and the exploded stream carries
+    # only distinct (doc, gram) pairs into the probe join. n_matched is
+    # unchanged: it always counted DISTINCT shared grams.
     grams = docs.select(
-        F.col(id_col), F.explode(ngrams_col(toks, n)).alias("gram")
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_col(toks, n))).alias("gram"),
     )
     is_eval = F.col(id_col) % eval_mod == 0
     eval_grams = grams.where(is_eval).select("gram").distinct()
@@ -468,7 +498,7 @@ def contamination_flags(docs, n: int = 4, eval_mod: int = 7,
         grams.where(~is_eval)
         .join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_matched"))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
     )
     return (
         docs.where(~is_eval).select(id_col)

@@ -2126,7 +2126,7 @@ def dp_repetition_signals(spark, sf_dir):
     top-bigram, duplicate-trigram fractions) per document; within-row
     array expressions, shuffle-free — see datapipe/text.py
     repetition_cols."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = dtext.ensure_parallelism(_t(spark, sf_dir, "documents"))
     d = docs.withColumn("__toks", dtext.tokens_col(F.col("text")))
     rep = dtext.repetition_cols(F.col("__toks"))
     return d.select(
