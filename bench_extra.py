@@ -57,7 +57,11 @@ def _session(rep: int | None = None):
     return new_session(f"local[{CPUS}]", rep or 2 * CPUS)
 
 
-def cmd_queries(names: list[str], k: int) -> None:
+def cmd_queries(names: list[str], k: int, cold: bool = False) -> None:
+    """``cold=True`` replicates the FROZEN bench's time_queries
+    methodology: no per-query warm run, one session, queries in order —
+    the first (and only) sample pays plan optimization + codegen
+    compile, exactly like the driver's recorded walls."""
     from bench import _cpu_sample
 
     import sqlite_otel_spark.queries as Q
@@ -65,7 +69,8 @@ def cmd_queries(names: list[str], k: int) -> None:
     spark = _session()
     for name in names:
         fn = Q.QUERIES[name]
-        fn(spark, SF_DIR).count()  # warm (JIT/codegen/broadcast)
+        if not cold:
+            fn(spark, SF_DIR).count()  # warm (JIT/codegen/broadcast)
         walls, noops, steals = [], [], []
         for _ in range(k):
             b0, s0 = _cpu_sample()
@@ -74,6 +79,9 @@ def cmd_queries(names: list[str], k: int) -> None:
             walls.append(round(time.monotonic() - t0, 3))
             b1, s1 = _cpu_sample()
             steals.append(round(100.0 * (s1 - s0) / max(b1 - b0 + s1 - s0, 1), 2))
+            if cold:
+                noops.append(-1.0)
+                continue
             t0 = time.monotonic()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             noops.append(round(time.monotonic() - t0, 3))
@@ -217,10 +225,11 @@ def main() -> None:
     ap.add_argument("cmd", choices=["queries", "explain", "phases"])
     ap.add_argument("names", nargs="*")
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--cold", action="store_true")
     ap.add_argument("-k", type=int, default=2)
     a = ap.parse_args()
     if a.cmd == "queries":
-        cmd_queries(a.names or DEFAULT_QUERIES, a.k)
+        cmd_queries(a.names or DEFAULT_QUERIES, a.k, cold=a.cold)
     elif a.cmd == "explain":
         cmd_explain(a.names or DEFAULT_QUERIES, a.tag)
     else:

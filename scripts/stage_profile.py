@@ -73,7 +73,8 @@ def main() -> None:
             else:
                 fn(spark, sf_dir).count()
 
-        run()  # warm
+        if not os.environ.get("STAGEPROF_NOWARM"):
+            run()  # warm
         before = _snapshot(ui, app_id)
         t0 = time.monotonic()
         run()

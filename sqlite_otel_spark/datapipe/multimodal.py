@@ -1,10 +1,13 @@
 """Multimodal column plumbing (brief §datapipe): image/audio/video as
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
-``mapInPandas``. The actual codecs (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode kernel is a clearly-marked deterministic stub —
-the Spark-side contract (schema, batching, partition behavior, UDF
-signature) is real and tested, and swapping in a real decoder is a
-one-function change.
+``mapInPandas``. Decoding uses REAL pure-stdlib codecs (rounds 3-5): PNG
+with full IDAT inflate + per-scanline unfilter, GIF with full LZW
+decompression including interlace, WAV RIFF chunk parsing — so
+width/height/checksum come from actual pixel/sample bytes; JPEG parses
+SOF header geometry (entropy scan not decoded — documented). Payloads no
+decoder recognizes fall back to a clearly-marked deterministic stub so
+the plumbing is assertable end-to-end; third-party codecs (PIL/av) can
+be added as a further additive path in ``decode_media``.
 """
 
 from __future__ import annotations

@@ -743,24 +743,51 @@ def q1_lineitem_rollup(spark, sf_dir):
     """,
 )
 def q3_top_revenue_orders(spark, sf_dir):
+    """Round-6 physical rewrite (same rows): carrying
+    any_value(c_mktsegment) through the aggregation put a STRING in the
+    agg buffer, which forces SortAggregate — two full sorts of the
+    joined stream (plan before: Sort+SortAggregate x2). Aggregating on
+    long columns only (sum + any_value(o_custkey), functionally
+    dependent on the group key) restores HashAggregate, the global
+    row_number window (single-partition sort of every order) becomes
+    orderBy+limit (TakeOrdered: per-partition top-10 + driver merge on
+    the same total order), and the segment string is broadcast-joined
+    onto the 10 survivors. Measured 1.00 -> 0.33 s at sf0.1."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.any_value("c_mktsegment").alias("segment"),
-        )
+    # Aggregate lineitem FIRST (guide §2.3 "aggregate before you
+    # shuffle"): revenue depends only on lineitem grouped by l_orderkey,
+    # and orders/customer join keys are unique, so group-then-join is
+    # row-identical to join-then-group. The planner's own choice
+    # broadcast the 600k-row lineitem (under the size estimate) and
+    # streamed single-split orders. The narrow projection spreads first:
+    # every shared table is a single-row-group file, so the scan cannot
+    # split and the whole map side otherwise runs on one core.
+    li2 = dtext.ensure_parallelism(
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
     )
+    rev0 = li2.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    # orders restricted to existing customers (inner-join semantics of
+    # the original), broadcast as a 2-long-column lookup
+    oc = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "o_custkey")
+    rev = rev0.join(F.broadcast(oc), rev0.l_orderkey == oc.o_orderkey)
+    top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        top.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            top["o_custkey"] == cust["c_custkey"],
+        )
+        .withColumn("rn", F.row_number().over(w))
         .orderBy("rn")
-        .select("o_orderkey", "revenue", "segment")
+        .select("o_orderkey", "revenue", F.col("c_mktsegment").alias("segment"))
     )
 
 
@@ -1249,7 +1276,15 @@ def dp_ngram_jaccard(spark, sf_dir):
     # ride the signature aggregation (with_sizes), removing the last
     # full pass. Measured sf0.1: 3.58 -> 2.09 s.
     sh = dd.shingles(docs, n=3).localCheckpoint(eager=False)
-    sig = dd.minhash_signatures(sh, 32, hash_fn="md5", with_sizes=True)
+    # checkpoint the SIGNATURE frame as well (round 6): the 32-min agg
+    # subtree otherwise appears four times in the final plan (both
+    # banding join sides + both size joins) — recomputed at run time
+    # AND quadrupling the tree Catalyst must optimize (a measured
+    # ~1.4 s driver planning gap on the 64-perm variant). The frame is
+    # tiny (33 longs per doc).
+    sig = dd.minhash_signatures(
+        sh, 32, hash_fn="md5", with_sizes=True
+    ).localCheckpoint(eager=False)
     cand = dd.minhash_lsh_candidates(sig, bands=16, rows=2, hash_fn="md5")
     return dd.jaccard_pairs(
         sh, threshold=0.6, candidates=cand, sizes=sig
@@ -1266,7 +1301,12 @@ def dp_minhash_lsh(spark, sf_dir):
     # shared shingle materialization + fused sizes — see
     # dp_ngram_jaccard. Measured sf0.1: 4.26 -> 3.14 s.
     sh = dd.shingles(docs, n=3).localCheckpoint(eager=False)
-    sig = dd.minhash_signatures(sh, 64, hash_fn="md5", with_sizes=True)
+    # sig checkpoint: see dp_ngram_jaccard — the 64-min agg runs ONCE
+    # and the banding/size consumers read 65 longs/doc blocks instead
+    # of re-optimizing + re-running four copies of the agg subtree
+    sig = dd.minhash_signatures(
+        sh, 64, hash_fn="md5", with_sizes=True
+    ).localCheckpoint(eager=False)
     cand = dd.minhash_lsh_candidates(sig, bands=16, rows=4, hash_fn="md5")
     return dd.jaccard_pairs(
         sh, threshold=0.6, candidates=cand, sizes=sig
