@@ -204,10 +204,13 @@ def cmd_phases(n_turns: int) -> None:
         }
         routed = enrich(facts_ops.build_routed(valid), role_dim(spark),
                         tool_dim(spark))
-        fused = agg_ops.fused_rollup(routed)
+        res = plan.PipelineResult(
+            sinks=sinks, routed=routed, accounting=None,
+            by_signal_tool=None, by_time_bucket=None,
+        )
         with ThreadPoolExecutor(max_workers=2) as pool:
             a = pool.submit(agg_ops.sink_counts, sinks)
-            b = pool.submit(lambda: fused.collect())
+            b = pool.submit(plan.collect_aggregates, res)
             a.result()
             b.result()
 

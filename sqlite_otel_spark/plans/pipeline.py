@@ -341,15 +341,30 @@ def write_sinks(result: PipelineResult, out_dir: str, cfg: PipelineConfig | None
 
 
 def collect_aggregates(result: PipelineResult) -> dict[str, list]:
-    """A1-A3 materialization in ONE job: the GROUPING SETS fused rollup
-    (aggregates.fused_rollup — one cache scan + one shuffle for all
-    three granularities) unioned with the tiny rejects aggregate, then
-    split driver-side. Replaces three separately-scheduled collects
-    whose per-job latency barely parallelizes (measured ~15s at
-    local[8] for ~1s of actual work). The individual accounting/
-    by_signal_tool/by_time_bucket DataFrames remain on PipelineResult
-    as the correctness surface (their oracles check values)."""
-    fused = agg.fused_rollup(result.routed)
+    """A1-A3 materialization in ONE job: aggregate the routed stream
+    ONCE at the finest granularity (bucket, signal, tool), union the
+    tiny rejects aggregate, and derive the two coarser granularities by
+    folding the collected fine rows on the driver. Round 6 (guide §2.3):
+    the previous GROUPING SETS form expanded every turn row 3x before
+    the partial aggregation — 9M rows through the hash agg at 3M turns
+    for the same three result sets; counts and int64 byte sums fold
+    associatively, so the coarser rows are bit-identical. The fine
+    result is thousands of rows — driver-side folding is free. The
+    individual accounting/by_signal_tool/by_time_bucket DataFrames
+    remain on PipelineResult as the correctness surface (their oracles
+    check values)."""
+    fine = (
+        result.routed
+        .groupBy(
+            F.window("ts", "1 hour")["start"].alias("bucket_start"),
+            "signal_type", "tool",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.lit(0).alias("gid"),
+        )
+    )
     rej = (
         result.sinks["rejects"]
         .groupBy("signal_type")
@@ -359,20 +374,21 @@ def collect_aggregates(result: PipelineResult) -> dict[str, list]:
             F.lit(999).alias("gid"),
         )
     )
-    rows = fused.unionByName(rej, allowMissingColumns=True).collect()
-    # grouping_id bits (groupBy order signal_type, tool, bucket_start):
-    # gid 3 = (signal_type), 1 = (signal_type, tool), 0 = full triple.
+    rows = fine.unionByName(rej, allowMissingColumns=True).collect()
     acc: dict = {}
+    by_tool: dict = {}
     for r in rows:
-        if r.gid == 3:
-            acc.setdefault(r.signal_type, [r.signal_type, 0, 0, 0, 0])[1:3] = [r.n, r.n_bytes or 0]
-        elif r.gid == 999:
+        if r.gid == 999:
             acc.setdefault(r.signal_type, [r.signal_type, 0, 0, 0, 0])[3:5] = [r.n, r.n_bytes or 0]
+            continue
+        a = acc.setdefault(r.signal_type, [r.signal_type, 0, 0, 0, 0])
+        a[1] += r.n
+        a[2] += r.n_bytes or 0
+        key = (r.signal_type, r.tool)
+        by_tool[key] = by_tool.get(key, 0) + r.n
     return {
         "accounting": [tuple(v) for v in acc.values()],
-        "by_signal_tool": [
-            (r.signal_type, r.tool, r.n) for r in rows if r.gid == 1
-        ],
+        "by_signal_tool": [(s, t, n) for (s, t), n in by_tool.items()],
         "by_time_bucket": [
             (r.bucket_start, r.signal_type, r.tool, r.n)
             for r in rows
