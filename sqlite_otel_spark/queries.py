@@ -1489,7 +1489,10 @@ def dp_dedup_components(spark, sf_dir):
     pair graph with a recursive CTE, so clustering + keep/drop verdicts
     are value-hash-checked end-to-end."""
     docs = _t(spark, sf_dir, "documents")
-    fp = dd.simhash(docs, n_bits=60, hash_fn="md5")
+    # fingerprint checkpoint: same rationale as dp_simhash_neardup —
+    # the banding self-join's two sides otherwise each recompute the
+    # full explode + 60-column bit-sum aggregation
+    fp = dd.simhash(docs, n_bits=60, hash_fn="md5").localCheckpoint(eager=False)
     pairs = dd.simhash_near_dups(fp, max_hamming=3, n_bits=60)
     return dd.dedup_decisions(pairs).orderBy("doc_id")
 
