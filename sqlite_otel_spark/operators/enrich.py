@@ -21,11 +21,20 @@ TOOL_DIM_SCHEMA = "tool string, tool_category string, cost_weight double"
 
 
 def role_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(role_dim_rows(), schema=ROLE_DIM_SCHEMA)
+    # coalesce(1): a handful of rows otherwise lands on
+    # defaultParallelism near-empty partitions, and every broadcast
+    # build over the dim schedules one task per partition (round-6
+    # stage profile — same fix as the conflict resolver's local
+    # relations)
+    return spark.createDataFrame(
+        role_dim_rows(), schema=ROLE_DIM_SCHEMA
+    ).coalesce(1)
 
 
 def tool_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(tool_dim_rows(), schema=TOOL_DIM_SCHEMA)
+    return spark.createDataFrame(
+        tool_dim_rows(), schema=TOOL_DIM_SCHEMA
+    ).coalesce(1)
 
 
 def enrich(df: DataFrame, roles: DataFrame, tools: DataFrame) -> DataFrame:

@@ -211,8 +211,12 @@ def run_checkpointed(
         invalid = compute_invalid_turns(spark, transcripts, cfg)
         with open(control_path, "w") as f:
             json.dump(invalid, f)
+    # coalesce(1): tiny local relation, broadcast-built per bucket job
+    # (see operators/conflicts.py — round-6 near-empty-partition fix)
     invalid_df = (
-        spark.createDataFrame(invalid, "conv_id string, turn_idx int")
+        spark.createDataFrame(
+            invalid, "conv_id string, turn_idx int"
+        ).coalesce(1)
         if invalid
         else None
     )
