@@ -328,7 +328,7 @@ def lsh_near_pairs(
               else lambda c: lsh_bucket_col(c, dim, n_planes))
     cos = cosine_pd_udf() if vectorized else cosine_col
     sig = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("vec_id"),
         sig_fn(F.col(vec_col)).alias("sig"),
     )
     r_bits = n_planes // bands
@@ -340,17 +340,29 @@ def lsh_near_pairs(
         )
         for b in range(bands)
     ])
-    banded = sig.select("vec_id", "v", F.explode(band_structs).alias("x")).select(
-        "vec_id", "v", "x.band", "x.bh"
+    # Guide §8 proxy shape (round 6): only (vec_id, band, bh) flows
+    # through the explode + self-join + pair dedup — the candidate
+    # stream is O(N^2/buckets) rows, and carrying the embedding arrays
+    # through it shipped ~1 KB per candidate per side. The arrays are
+    # broadcast-joined back onto the DEDUPED pairs just before the
+    # exact-cosine verify (the vectors table is the small side by
+    # construction here; at corpus scale the re-attach becomes the
+    # §8 join-strategy decision). Same candidates, same cosines.
+    banded = sig.select("vec_id", F.explode(band_structs).alias("x")).select(
+        "vec_id", "x.band", "x.bh"
     )
-    a = banded.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("ea"),
-                      "band", "bh")
-    b = banded.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("eb"),
-                      "band", "bh")
-    return (
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "bh")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "bh")
+    cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    eb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    return (
+        cand.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
         .withColumn("cosine", F.round(cos(F.col("ea"), F.col("eb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
