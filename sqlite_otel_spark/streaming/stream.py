@@ -100,14 +100,25 @@ def process_batch(
             "conv_id", "turn_idx", *METRIC_DEF_SRC
         )
 
-        for name, df in (
+        # concurrent submission (round 6, same rationale as write_sinks):
+        # the seven appends are independent sub-DAGs over the shared
+        # persisted batch; sequential submission serialized seven small
+        # jobs' scheduling latency into every micro-batch.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_one(item):
+            name, df = item
+            df.write.mode("append").option(
+                "compression", cfg.compression
+            ).parquet(f"{out_dir}/{name}")
+
+        sinks = (
             ("spans", spans), ("log_records", logs), ("metric_data_points", points),
             ("rejects", rejects), ("resources_touch", res_touch),
             ("scopes_touch", sco_touch), ("metric_defs_touch", md_touch),
-        ):
-            df.write.mode("append").option("compression", cfg.compression).parquet(
-                f"{out_dir}/{name}"
-            )
+        )
+        with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+            list(pool.map(write_one, sinks))
     finally:
         records.unpersist()
 
