@@ -50,10 +50,17 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def gram_array(text, n: int = 3):
-    """Word n-gram shingles of one document as a within-row array
-    (duplicates kept; wrap in array_distinct for set semantics)."""
-    toks = tokens_col(text)
+def gram_array_from_tokens(toks, n: int = 3):
+    """Word n-gram shingles from an ALREADY-BOUND token-array column.
+
+    ``toks`` must be a plain column reference (not an inline
+    ``tokens_col(text)`` expression): Catalyst evaluates higher-order
+    lambdas interpreted with NO subexpression elimination, so an inline
+    token expression is re-evaluated for EVERY element the lambda
+    touches — n full-text regexp_extract_all scans per shingle (round-6
+    thread dump: 32 tasks serialized on the JVM-global ClassValue lock
+    inside RegExpExtractAll.nullSafeEval). Bound, the lambda body is n
+    element_at lookups."""
     # guard: sequence(1, 0) would DESCEND in Spark; short docs get no shingles
     return F.when(
         F.size(toks) >= n,
@@ -64,6 +71,14 @@ def gram_array(text, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def gram_array(text, n: int = 3):
+    """Word n-gram shingles of one document as a within-row array
+    (duplicates kept; wrap in array_distinct for set semantics).
+    Prefer projecting ``tokens_col(text)`` to a column first and calling
+    ``gram_array_from_tokens`` — see its docstring for why."""
+    return gram_array_from_tokens(tokens_col(text), n)
+
+
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document (set semantics).
@@ -72,11 +87,16 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     whole shingle stream; the explode remains only for join-shaped
     consumers (jaccard_pairs intersections, signature partial-aggs).
     Narrow inputs are spread first (the scan partitioning is the ONLY
-    parallelism left once the dedup shuffle is gone)."""
-    grams = F.array_distinct(gram_array(F.col(text_col), n))
-    return _ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    parallelism left once the dedup shuffle is gone). Tokenization is
+    projected to a column in a SEPARATE select (round 6) so the regex
+    runs once per row — CollapseProject keeps the projections apart
+    because the token array is referenced several times."""
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
     )
+    grams = F.array_distinct(gram_array_from_tokens(F.col("__toks"), n))
+    return toks.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.6,
@@ -257,8 +277,15 @@ def minhash_signatures_inline(docs: DataFrame, num_perm: int = 64,
     per shingle — two md5s, as in km_hash_cols — so the 64 permutation
     scans do only long arithmetic."""
     docs = _ensure_parallelism(docs)
-    sh = F.array_distinct(gram_array(F.col(text_col), n))
-    d = docs.select(F.col(id_col).alias("doc_id"), sh.alias("__sh")).where(
+    # bind the token array before the gram lambda (round 6) — see
+    # gram_array_from_tokens for why an inline token expression is
+    # re-evaluated per shingle
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+    )
+    sh = F.array_distinct(gram_array_from_tokens(F.col("__toks"), n))
+    d = tok.select("doc_id", sh.alias("__sh")).where(
         F.size("__sh") > 0
     )
     if hash_fn == "md5":

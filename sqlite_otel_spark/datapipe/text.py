@@ -481,16 +481,21 @@ def contamination_flags(docs, n: int = 4, eval_mod: int = 7,
     # join of a one-split scan ran on ONE core (stage profile: a single
     # 2.4 s task at sf0.1); no-op whenever the scan already parallelizes
     docs = ensure_parallelism(docs)
-    toks = tokens_col(F.col(text_col))
     # within-row gram dedup BEFORE the explode (round 6, guide §2.3):
     # each gram then appears once per document, so the per-doc match
     # count is a plain count — the count_distinct Expand (which doubled
     # the aggregation input) disappears and the exploded stream carries
     # only distinct (doc, gram) pairs into the probe join. n_matched is
-    # unchanged: it always counted DISTINCT shared grams.
-    grams = docs.select(
+    # unchanged: it always counted DISTINCT shared grams. The token
+    # array is bound to a column FIRST (round 6): an inline token
+    # expression inside the ngram transform lambda re-runs the regex
+    # per gram (interpreted HOF, no subexpression elimination).
+    tok = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    grams = tok.select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngrams_col(toks, n))).alias("gram"),
+        F.explode(F.array_distinct(ngrams_col(F.col("__toks"), n))).alias("gram"),
     )
     is_eval = F.col(id_col) % eval_mod == 0
     eval_grams = grams.where(is_eval).select("gram").distinct()

@@ -1199,3 +1199,27 @@ def test_quantize_int8_bounds(spark, emb):
         cos = dot / (math.sqrt(sum(a * a for a in v))
                      * math.sqrt(sum(b * b for b in deq)))
         assert cos > 0.999
+
+
+def test_shingle_tokenization_evaluated_once_per_row(spark, docs):
+    """Round-6 regression guard: the token regex must be PROJECTED to a
+    bound column before the gram-building transform lambda. Catalyst
+    evaluates HOF lambdas interpreted with no subexpression
+    elimination, so an inline tokens_col(text) inside the lambda re-ran
+    regexp_extract_all for every element_at — n full-text regex scans
+    per shingle (measured 8.8x on the cold dp_minhash_lsh wall). The
+    optimized plan must therefore contain exactly ONE
+    regexp_extract_all per gram-producing operator, and the
+    bound-column form must stay value-identical to the text form."""
+    sh_plan = dd.shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert sh_plan.lower().count("regexp_extract_all") == 1, sh_plan
+    # value parity: gram_array(text) == gram_array_from_tokens(bound col)
+    from sqlite_otel_spark.datapipe.text import tokens_col
+    sub = docs.filter(F.col("doc_id") < 50)
+    a = sub.select("doc_id", dd.gram_array(F.col("text")).alias("g")).collect()
+    b = (
+        sub.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+        .select("doc_id", dd.gram_array_from_tokens(F.col("__toks")).alias("g"))
+        .collect()
+    )
+    assert a == b
