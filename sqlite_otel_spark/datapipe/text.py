@@ -436,18 +436,37 @@ def line_repetition_cols(text: Column) -> dict[str, Column]:
     """Line-repetition signals (the C4 duplicate-line filters):
     fraction of non-empty lines that are duplicates, and the fraction
     of line CHARACTERS inside duplicated lines (char-weighted, the form
-    that catches a few huge repeated blocks). Within-row nested array
-    filters; no shuffle."""
+    that catches a few huge repeated blocks). Within-row array
+    expressions (one run-length fold over the sorted lines); no
+    shuffle."""
     lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
     n = F.size(lines)
-    dup_lines = F.filter(
-        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
-    )
     tot_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
     )
+    # chars inside duplicated lines via ONE run-length fold over the
+    # SORTED array (round 6): the old nested filter(lines, ...) put
+    # `lines` INSIDE the lambda body — interpreted HOFs re-evaluate the
+    # whole split+filter per element (O(lines^2) with a re-split each) —
+    # same bomb as the gram_array token regex. Equal lines have equal
+    # length, so completing a run of k > 1 adds k * length to the total.
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, l):
+        run = F.when(acc["prev"].eqNullSafe(l), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        dup = acc["dup"] + F.when(
+            run == 2, 2 * F.length(l).cast("long")
+        ).when(run > 2, F.length(l).cast("long")).otherwise(F.lit(0).cast("long"))
+        return F.struct(l.alias("prev"), run.alias("run"), dup.alias("dup"))
+
     dup_chars = F.aggregate(
-        dup_lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        F.array_sort(lines), init, step, lambda acc: acc["dup"]
     )
     return {
         "n_lines": n.cast("long"),
