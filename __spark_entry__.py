@@ -28,9 +28,10 @@ from sqlite_otel_spark.queries import ORACLES, QUERIES, _pipeline
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline on the deterministic transcript fixture;
-    returns the per-hour signal/tool rollup (A3). Also touches the
-    sf0.001 shared tables as a source smoke check."""
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(1).collect()
+    returns the per-hour signal/tool rollup (A3). Source reachability
+    is covered by the ``s6_health_check`` query (round 6: the old
+    inline limit-1 smoke collect scheduled an extra job per entry()
+    call for no contract value)."""
     return _pipeline(spark).by_time_bucket
 
 
